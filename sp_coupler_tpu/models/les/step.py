@@ -1,0 +1,190 @@
+"""LES time stepping: tendency assembly + Wicker-Skamarock RK3 + projection.
+
+The substep is the hot path of the whole framework (the reference spends
+minutes per coupled step inside DALES's evolve_model, splib.py:566). One
+substep = 3 RK stages, each: saturation adjustment -> advection + subgrid +
+buoyancy + forcings + microphysics -> pressure projection. Everything is
+jit-compiled; the fixed substep count per GCM step makes the whole evolve a
+lax.scan (XLA unrolls nothing, compiles once).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ... import constants as c
+from ...utils import thermo
+from . import advect, subgrid, poisson, micro
+from .advect import sp, sm, X, Y, Z
+from .state import LESState, LESForcing
+
+QT_FORCING_GLOBAL = 0    # uniform profile tendency (reference "sp" mode)
+QT_FORCING_VARIANCE = 1  # global + coupler-side variability nudge
+QT_FORCING_LOCAL = 2     # tendency distributed proportionally to local qt
+QT_FORCING_STRONG = 3    # proportional with saturation-aware clipping
+
+
+class LESPhysics(NamedTuple):
+    """Static physics configuration (hashable, jit static arg)."""
+
+    scheme: str = "hybrid52"
+    f_coriolis: float = 0.0
+    sponge_depth: float = 750.0      # m, nudge-to-mean layer below the lid
+    sponge_tau: float = 120.0        # s, strongest relaxation rate at the top
+    qt_forcing: int = QT_FORCING_GLOBAL
+    mphys: micro.MicroParams = micro.MicroParams()
+    n_sat_iter: int = 2
+
+
+def thermodynamics(state):
+    """Saturation adjustment on the whole volume: (T, ql, qsat, thv)."""
+    p = state.pbf[:, None, None]
+    T, ql, qs = thermo.sat_adjust(state.thl, state.qt, p, n_iter=2)
+    th = T * thermo.iexner(p)
+    qv = state.qt - ql
+    thv = th * (1.0 + c.eps_i * qv - ql - state.qr)
+    return T, ql, qs, thv
+
+
+def _apply_qt_forcing(state, forcing, mode):
+    """Distribute the slab-mean qt tendency over the volume (DALES
+    qt_forcing modes, modfac.py:70-73)."""
+    f = forcing.f_qt[:, None, None]
+    if mode == QT_FORCING_GLOBAL or mode == QT_FORCING_VARIANCE:
+        return jnp.broadcast_to(f, state.qt.shape)
+    qt_mean = jnp.mean(state.qt, axis=(Y, X), keepdims=True)
+    scale = state.qt / jnp.maximum(qt_mean, 1e-10)
+    if mode == QT_FORCING_LOCAL:
+        return f * scale
+    # STRONG: proportional for drying (keeps qt positive), uniform for
+    # moistening
+    return jnp.where(f < 0, f * scale, jnp.broadcast_to(f, state.qt.shape))
+
+
+def tendencies(grid, phys, state, forcing, dt):
+    """All non-pressure tendencies. Returns a dict keyed like the state."""
+    T, ql, qs, thv = thermodynamics(state)
+    rhobf, rhobh = state.rhobf, state.rhobh
+
+    adv_s = lambda s: advect.advect_scalar(grid, rhobf, rhobh, state.u,
+                                           state.v, state.w, s, phys.scheme)
+    du = advect.advect_u(grid, rhobf, rhobh, state.u, state.v, state.w)
+    dv = advect.advect_v(grid, rhobf, rhobh, state.u, state.v, state.w)
+    dw = advect.advect_w(grid, rhobf, rhobh, state.u, state.v, state.w)
+    dthl = adv_s(state.thl)
+    dqt = adv_s(state.qt)
+    dqr = adv_s(state.qr)
+
+    # buoyancy on interior w faces, relative to the slab mean
+    thv_m = jnp.mean(thv, axis=(Y, X), keepdims=True)
+    b_cent = c.grav * (thv - thv_m) / jnp.maximum(thv_m, 1.0)
+    b_face = 0.5 * (b_cent[1:] + b_cent[:-1])
+    dw = dw.at[1:-1].add(b_face)
+
+    # subgrid diffusion + surface fluxes
+    Km, Kh = subgrid.eddy_viscosity(grid, state, thv)
+    tu, tv, tw, ustar = subgrid.diffuse_momentum(grid, rhobf, rhobh, Km,
+                                                 state, forcing.z0m)
+    du = du + tu
+    dv = dv + tv
+    dw = dw + tw
+    dthl = dthl + subgrid.diffuse_scalar(grid, rhobf, rhobh, Kh, state.thl,
+                                         surf_flux=forcing.wthl)
+    dqt = dqt + subgrid.diffuse_scalar(grid, rhobf, rhobh, Kh, state.qt,
+                                       surf_flux=forcing.wqt)
+    dqr = dqr + subgrid.diffuse_scalar(grid, rhobf, rhobh, Kh, state.qr)
+
+    # coriolis (off in the reference RICO case, namoptions lcoriol=false)
+    if phys.f_coriolis != 0.0:
+        vc_at_u = 0.25 * (state.v + sp(state.v, Y) + sm(state.v, X)
+                          + sp(sm(state.v, X), Y))
+        uc_at_v = 0.25 * (state.u + sp(state.u, X) + sm(state.u, Y)
+                          + sp(sm(state.u, Y), X))
+        du = du + phys.f_coriolis * vc_at_u
+        dv = dv - phys.f_coriolis * uc_at_v
+
+    # coupler forcings (profile tendencies, spcpl.py:328-347)
+    du = du + forcing.f_u[:, None, None]
+    dv = dv + forcing.f_v[:, None, None]
+    dthl = dthl + forcing.f_thl[:, None, None]
+    dqt = dqt + _apply_qt_forcing(state, forcing, phys.qt_forcing)
+
+    # microphysics
+    mdqt, mdqr, mdthl, surf_rain = micro.rain_tendencies(
+        grid, phys.mphys, rhobf, T, state.pbf[:, None, None],
+        state.qt - ql, ql, state.qr, dt)
+    dqt = dqt + mdqt
+    dqr = dqr + mdqr
+    dthl = dthl + mdthl
+
+    # sponge layer: relax to slab means near the lid (igrw_damp equivalent)
+    zf = (jnp.arange(grid.nz, dtype=state.u.dtype) + 0.5) * grid.dz
+    zs = grid.zsize - phys.sponge_depth
+    rate = jnp.clip((zf - zs) / phys.sponge_depth, 0.0, 1.0) / phys.sponge_tau
+    rate = rate[:, None, None]
+
+    def nudge(field, tend):
+        mean = jnp.mean(field, axis=(Y, X), keepdims=True)
+        return tend - rate * (field - mean)
+
+    du, dv = nudge(state.u, du), nudge(state.v, dv)
+    dthl, dqt = nudge(state.thl, dthl), nudge(state.qt, dqt)
+    rate_h = jnp.clip(((jnp.arange(grid.nz + 1, dtype=state.u.dtype)
+                        * grid.dz) - zs) / phys.sponge_depth, 0.0, 1.0)
+    dw = dw - (rate_h / phys.sponge_tau)[:, None, None] * state.w
+
+    return dict(u=du, v=dv, w=dw, thl=dthl, qt=dqt, qr=dqr,
+                ustar=ustar, surf_rain=surf_rain)
+
+
+def substep(grid, phys, state: LESState, forcing: LESForcing, dt) -> LESState:
+    """One full LES time step: RK3 (Wicker-Skamarock) + projection."""
+    def stage(s, frac, base):
+        t = tendencies(grid, phys, s, forcing, dt)
+        u = base.u + frac * dt * t["u"]
+        v = base.v + frac * dt * t["v"]
+        w = base.w + frac * dt * t["w"]
+        u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v, w,
+                                     frac * dt)
+        return s._replace(
+            u=u, v=v, w=w,
+            thl=base.thl + frac * dt * t["thl"],
+            qt=jnp.maximum(base.qt + frac * dt * t["qt"], 0.0),
+            qr=jnp.maximum(base.qr + frac * dt * t["qr"], 0.0),
+            ustar=t["ustar"],
+        ), t["surf_rain"]
+
+    s1, _ = stage(state, 1.0 / 3.0, state)
+    s2, _ = stage(s1, 0.5, state)
+    s3, rain_flux = stage(s2, 1.0, state)
+    return s3._replace(
+        ps=state.ps + dt * 0.0,  # surface pressure tendency handled in evolve
+        rain=state.rain + dt * rain_flux,
+        time=state.time + dt,
+    )
+
+
+def evolve(grid, phys, state: LESState, forcing: LESForcing, dt, n_steps):
+    """Advance n_steps substeps of length dt under constant coupler forcing.
+
+    The surface-pressure tendency from the coupler (set_tendency_surface_
+    pressure, spcpl.py:345) integrates ps linearly over the interval; the
+    anelastic base state is rebuilt once at the start from the current
+    slab-mean state (cheap [nz] scan).
+    """
+    # apply ps tendency for the whole interval up front, rebuild base state
+    from .state import base_state  # local import to avoid cycle
+
+    ps_new = state.ps + forcing.f_ps * dt * n_steps
+    thl0 = jnp.mean(state.thl, axis=(Y, X))
+    qt0 = jnp.mean(state.qt, axis=(Y, X))
+    pbf, pbh, rhobf, rhobh = base_state(grid, thl0, qt0, ps_new)
+    state = state._replace(ps=ps_new, pbf=pbf, pbh=pbh,
+                           rhobf=rhobf, rhobh=rhobh)
+
+    def body(s, _):
+        return substep(grid, phys, s, forcing, dt), ()
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state

@@ -1,0 +1,199 @@
+"""LES core tests: operators, projection, conservation, stability."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sp_coupler_tpu import constants as c
+from sp_coupler_tpu.models.les import grid as lgrid, state as lstate
+from sp_coupler_tpu.models.les import advect, poisson, step as lstep, diag
+from sp_coupler_tpu.models.les.state import LESForcing
+
+
+def small_grid(nx=16, ny=16, nz=24, dz=50.0):
+    return lgrid.LESGrid(nx=nx, ny=ny, nz=nz, dx=100.0, dy=100.0, dz=dz)
+
+
+def rico_profiles(nz, dz):
+    """Idealized RICO-like sounding (see dales-input/prof.inp.001)."""
+    zf = (np.arange(nz) + 0.5) * dz
+    thl = 297.9 + np.where(zf < 740.0, 0.0, (zf - 740.0) * 19.1 / 3260.0)
+    qt = np.where(zf < 740.0, 16.0 + (13.8 - 16.0) * zf / 740.0,
+                  13.8 + (2.4 - 13.8) * (zf - 740.0) / 3260.0) * 1e-3
+    u = -9.9 + 2e-3 * zf
+    v = np.full(nz, -3.8)
+    return (jnp.asarray(u, jnp.float32), jnp.asarray(v, jnp.float32),
+            jnp.asarray(thl, jnp.float32), jnp.asarray(qt, jnp.float32))
+
+
+def make_state(g, key=0):
+    u, v, thl, qt = rico_profiles(g.nz, g.dz)
+    return lstate.init_state(g, u, v, thl, qt, 1.0e5,
+                             jax.random.PRNGKey(key))
+
+
+class TestBaseState:
+    def test_hydrostatic_density_decreases(self):
+        g = small_grid()
+        s = make_state(g)
+        rho = np.asarray(s.rhobf)
+        assert np.all(np.diff(rho) < 0)
+        assert 1.0 < rho[0] < 1.3
+        p = np.asarray(s.pbf)
+        assert p[0] < 1.0e5 and p[0] > 0.97e5
+
+    def test_surface_pressure_consistency(self):
+        g = small_grid()
+        s = make_state(g)
+        assert np.isclose(float(s.pbh[0]), 1.0e5, rtol=1e-6)
+
+
+class TestPoisson:
+    def test_projection_divergence_free(self):
+        g = small_grid()
+        s = make_state(g)
+        key = jax.random.PRNGKey(1)
+        ks = jax.random.split(key, 3)
+        u = s.u + 0.5 * jax.random.normal(ks[0], s.u.shape)
+        v = s.v + 0.5 * jax.random.normal(ks[1], s.v.shape)
+        w = s.w.at[1:-1].set(0.3 * jax.random.normal(ks[2], s.w[1:-1].shape))
+        u2, v2, w2, _ = poisson.project(g, s.rhobf, s.rhobh, u, v, w, 5.0)
+        div = advect.divergence(g, s.rhobf, s.rhobh, u2, v2, w2)
+        scale = float(jnp.max(jnp.abs(s.rhobf))) / g.dx
+        assert float(jnp.max(jnp.abs(div))) < 2e-5 * scale
+        # boundary faces untouched
+        assert float(jnp.max(jnp.abs(w2[0]))) == 0.0
+        assert float(jnp.max(jnp.abs(w2[-1]))) == 0.0
+
+    def test_projection_idempotent(self):
+        g = small_grid()
+        s = make_state(g)
+        u, v, w = s.u, s.v, s.w
+        u1, v1, w1, _ = poisson.project(g, s.rhobf, s.rhobh, u, v, w, 5.0)
+        u2, v2, w2, _ = poisson.project(g, s.rhobf, s.rhobh, u1, v1, w1, 5.0)
+        assert float(jnp.max(jnp.abs(u2 - u1))) < 1e-4
+
+
+class TestAdvection:
+    def test_scalar_conservation(self):
+        """rho-weighted total of an advected scalar is invariant."""
+        g = small_grid()
+        s = make_state(g)
+        key = jax.random.PRNGKey(2)
+        u = s.u + jax.random.normal(key, s.u.shape)
+        v = s.v
+        w = s.w.at[1:-1].set(0.2 * jax.random.normal(key, s.w[1:-1].shape))
+        # make the velocity divergence-free first
+        u, v, w, _ = poisson.project(g, s.rhobf, s.rhobh, u, v, w, 1.0)
+        sc = s.qt
+        for scheme in ("cd2", "hybrid52", "hybrid62"):
+            t = advect.advect_scalar(g, s.rhobf, s.rhobh, u, v, w, sc, scheme)
+            total = float(jnp.sum(s.rhobf[:, None, None] * t))
+            norm = float(jnp.sum(s.rhobf[:, None, None] * jnp.abs(sc))) / g.nz
+            assert abs(total) < 5e-5 * norm, scheme
+
+    def test_uniform_field_zero_tendency(self):
+        """Advection of a constant by a divergence-free flow is zero."""
+        g = small_grid()
+        s = make_state(g)
+        u = jnp.full_like(s.u, 3.0)
+        v = jnp.full_like(s.v, -2.0)
+        w = s.w
+        sc = jnp.full_like(s.qt, 7.0)
+        for scheme in ("cd2", "hybrid52", "hybrid62"):
+            t = advect.advect_scalar(g, s.rhobf, s.rhobh, u, v, w, sc, scheme)
+            assert float(jnp.max(jnp.abs(t))) < 1e-4, scheme
+
+    def test_momentum_translation_invariance(self):
+        g = small_grid()
+        s = make_state(g)
+        u = jnp.full_like(s.u, 5.0)
+        v = jnp.full_like(s.v, 5.0)
+        du = advect.advect_u(g, s.rhobf, s.rhobh, u, v, s.w)
+        assert float(jnp.max(jnp.abs(du))) < 1e-4
+
+
+class TestStep:
+    def test_substep_runs_and_stays_finite(self):
+        g = small_grid()
+        phys = lstep.LESPhysics()
+        s = make_state(g)
+        f = LESForcing.zeros(g.nz)
+        s2 = lstep.substep(g, phys, s, f, 2.0)
+        for name in ("u", "v", "w", "thl", "qt", "qr"):
+            arr = getattr(s2, name)
+            assert bool(jnp.all(jnp.isfinite(arr))), name
+        assert float(s2.time) == 2.0
+
+    def test_evolve_20_substeps_stable(self):
+        g = small_grid()
+        phys = lstep.LESPhysics()
+        s = make_state(g)
+        f = LESForcing.zeros(g.nz)._replace(
+            wthl=jnp.asarray(0.01, jnp.float32),
+            wqt=jnp.asarray(5e-5, jnp.float32))
+        ev = jax.jit(lambda st: lstep.evolve(g, phys, st, f, 2.0, 20))
+        s2 = ev(s)
+        assert bool(jnp.all(jnp.isfinite(s2.thl)))
+        assert bool(jnp.all(jnp.isfinite(s2.u)))
+        # fields stay in physically plausible ranges
+        assert 280.0 < float(jnp.mean(s2.thl)) < 320.0
+        assert 0.0 <= float(jnp.max(s2.qt)) < 0.05
+        assert float(jnp.max(jnp.abs(s2.w))) < 10.0
+        assert float(s2.time) == 40.0
+
+    def test_water_conservation_no_micro_no_flux(self):
+        """Without surface flux and micro sources, total water is conserved."""
+        g = small_grid()
+        micro_off = lstep.micro.MicroParams(auto_k=0.0, accr_k=0.0,
+                                            evap_tau=1e30, sed_a=0.0)
+        phys = lstep.LESPhysics(mphys=micro_off)
+        s = make_state(g)
+        f = LESForcing.zeros(g.nz)
+        ev = jax.jit(lambda st: lstep.evolve(g, phys, st, f, 2.0, 10))
+        s2 = ev(s)
+        m1 = float(jnp.sum(s.rhobf[:, None, None] * (s.qt + s.qr)))
+        m2 = float(jnp.sum(s2.rhobf[:, None, None] * (s2.qt + s2.qr)))
+        assert abs(m2 - m1) / m1 < 2e-3
+
+    def test_forcing_moves_mean(self):
+        g = small_grid()
+        phys = lstep.LESPhysics()
+        s = make_state(g)
+        f_thl = jnp.full(g.nz, 1e-3, jnp.float32)  # 1 mK/s heating
+        f = LESForcing.zeros(g.nz)._replace(f_thl=f_thl)
+        s2 = jax.jit(lambda st: lstep.evolve(g, phys, st, f, 2.0, 10))(s)
+        warm = float(jnp.mean(s2.thl) - jnp.mean(s.thl))
+        assert 0.01 < warm < 0.03  # ~20 s * 1e-3 K/s
+
+
+class TestDiag:
+    def test_slab_profiles_shapes(self):
+        g = small_grid()
+        s = make_state(g)
+        prof = diag.slab_profiles(g, s)
+        for k in ("U", "V", "THL", "QT", "QL", "QL_ice", "QR", "T",
+                  "presf", "Rhof", "Rhobf", "cloudfrac_z"):
+            assert prof[k].shape == (g.nz,), k
+        assert prof["PS"].shape == ()
+        assert np.isclose(float(prof["THL"][0]), 297.9, atol=0.2)
+
+    def test_cloud_fraction_mapping(self):
+        g = small_grid()
+        cf = jnp.zeros(g.nz).at[6:10].set(1.0)  # cloud cells 300-500 m
+        Zh = jnp.array([5000.0, 1000.0, 400.0, 200.0, 0.0], jnp.float32)
+        A = diag.cloud_fraction_on_gcm_levels(g, cf, Zh)
+        assert A.shape == (4,)
+        # domain top is 24*50 = 1200 m; layer 0 (1000-5000 m) pokes above it
+        assert float(A[0]) == 0.0
+        assert float(A[1]) == pytest.approx(100.0 / 600.0, abs=1e-5)  # 400-500 of 400-1000
+        assert float(A[2]) == pytest.approx(0.5, abs=1e-5)            # 300-400 of 200-400
+        assert float(A[3]) == 0.0
+
+    def test_fields_3d(self):
+        g = small_grid()
+        s = make_state(g)
+        f = diag.fields_3d(s)
+        assert f["Qsat"].shape == s.qt.shape
+        assert bool(jnp.all(f["Qsat"] > 0))
