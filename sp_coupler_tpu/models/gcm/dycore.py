@@ -1,0 +1,209 @@
+"""Hydrostatic primitive-equation spectral dycore (sigma coords, semi-implicit).
+
+Vorticity-divergence form on the sphere (Bourke 1974 / Hoskins & Simmons
+1975 lineage), semi-implicit leapfrog with Robert-Asselin filter and
+del^4 hyperdiffusion. This is the TPU-native stand-in for OpenIFS's
+dynamics consumed by the reference through the evolve_model_* split
+(splib.py:186-188, 296-299, 335): all transforms are einsums (MXU), all
+level couplings are small matmuls, the whole step jit-compiles to one
+XLA program.
+
+State layout: spectral coefficients [L, M, N] complex (level-major);
+moisture and cloud tracers are spectrally advected with grid-space
+clipping in the physics layer.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ... import constants as c
+
+
+class SpectralState(NamedTuple):
+    """Prognostic spectral coefficients at one time level."""
+
+    vort: jnp.ndarray    # [L, M, N] complex
+    div: jnp.ndarray     # [L, M, N]
+    T: jnp.ndarray       # [L, M, N]
+    lnps: jnp.ndarray    # [M, N]
+    q: jnp.ndarray       # [L, M, N] specific humidity (vapor, "SH")
+    ql: jnp.ndarray      # [L, M, N] cloud liquid
+    qi: jnp.ndarray      # [L, M, N] cloud ice
+    a: jnp.ndarray       # [L, M, N] cloud fraction
+
+    @classmethod
+    def zeros(cls, nlev, M, N, dtype=jnp.complex64):
+        z3 = jnp.zeros((nlev, M, N), dtype)
+        z2 = jnp.zeros((M, N), dtype)
+        return cls(vort=z3, div=z3, T=z3, lnps=z2, q=z3, ql=z3, qi=z3, a=z3)
+
+    def map(self, f):
+        return SpectralState(*[f(x) for x in self])
+
+
+class GridFields(NamedTuple):
+    """Grid-space view of the state plus diagnostics (all [L, nlat, nlon])."""
+
+    u: jnp.ndarray
+    v: jnp.ndarray
+    T: jnp.ndarray
+    q: jnp.ndarray
+    ql: jnp.ndarray
+    qi: jnp.ndarray
+    a: jnp.ndarray
+    lnps: jnp.ndarray      # [nlat, nlon]
+    omega_p: jnp.ndarray   # omega / p
+    vort: jnp.ndarray
+    div: jnp.ndarray
+
+
+def to_grid(sht, vc, s: SpectralState) -> GridFields:
+    u, v = sht.uv_from_vort_div(s.vort, s.div)
+    T = sht.synthesize(s.T)
+    q = sht.synthesize(s.q)
+    ql = sht.synthesize(s.ql)
+    qi = sht.synthesize(s.qi)
+    a = sht.synthesize(s.a)
+    lnps = sht.synthesize(s.lnps)
+    vort = sht.synthesize(s.vort)
+    div = sht.synthesize(s.div)
+    dpx, dpy = sht.grad(s.lnps)
+    C = div + u * dpx[None] + v * dpy[None]
+    omega_p = (u * dpx[None] + v * dpy[None]
+               - jnp.einsum("kj,j...->k...", vc.Pmat, C))
+    return GridFields(u=u, v=v, T=T, q=q, ql=ql, qi=qi, a=a, lnps=lnps,
+                      omega_p=omega_p, vort=vort, div=div)
+
+
+def _vert_advect(vc, sdot_half, X):
+    """(sigma_dot dX/dsigma)_k with sdot_half [L+1, ...] (zero at both ends)."""
+    dX_up = X - jnp.concatenate([X[:1], X[:-1]], 0)      # X_k - X_{k-1}
+    dX_dn = jnp.concatenate([X[1:], X[-1:]], 0) - X      # X_{k+1} - X_k
+    ds = vc.ds[:, None, None]
+    return 0.5 / ds * (sdot_half[1:] * dX_dn + sdot_half[:-1] * dX_up)
+
+
+def tendencies(sht, vc, s: SpectralState, f_coriolis_grid):
+    """Explicit (nonlinear + linear) tendencies at time t, spectral space.
+
+    Returns (N: SpectralState of tendencies, g: GridFields at t).
+    """
+    g = to_grid(sht, vc, s)
+    dpx, dpy = sht.grad(s.lnps)
+    C = g.div + g.u * dpx[None] + g.v * dpy[None]        # [L, nlat, nlon]
+    ds = vc.ds[:, None, None]
+    # surface pressure tendency and sigma-dot at half levels
+    dpi_dt = -jnp.sum(C * ds, axis=0)                    # [nlat, nlon]
+    csum = jnp.cumsum(C * ds, axis=0)                    # sum_{j<=k}
+    total = csum[-1:]
+    # half levels 0..L: sdot[k] at sigma = sh[k]
+    sdot_int = vc.sh[1:-1, None, None] * total - csum[:-1]
+    zero = jnp.zeros_like(sdot_int[:1])
+    sdot = jnp.concatenate([zero, sdot_int, zero], axis=0)  # [L+1]
+
+    Tp = g.T - vc.tref                                   # T perturbation
+    abs_vort = g.vort + f_coriolis_grid[None]
+
+    Fu = (abs_vort * g.v - _vert_advect(vc, sdot, g.u)
+          - c.rd * Tp * dpx[None])
+    Fv = (-abs_vort * g.u - _vert_advect(vc, sdot, g.v)
+          - c.rd * Tp * dpy[None])
+    N_vort, divF = sht.vort_div_from_uv(Fu, Fv)
+
+    E = 0.5 * (g.u ** 2 + g.v ** 2)
+    phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(s.T.dtype), s.T)
+    lin = (sht.analyze(E).astype(s.T.dtype) + phi_spec
+           + c.rd * vc.tref * s.lnps[None])
+    N_div = divF - sht.laplacian * lin
+
+    # thermodynamic equation: flux-form horizontal advection of T'
+    _, divTflux = sht.vort_div_from_uv(g.u * Tp, g.v * Tp)
+    N_T_grid = (Tp * g.div - _vert_advect(vc, sdot, g.T)
+                + c.kappa * g.T * g.omega_p)
+    N_T = -divTflux + sht.analyze(N_T_grid).astype(s.T.dtype)
+
+    N_lnps = sht.analyze(dpi_dt).astype(s.lnps.dtype)
+
+    def scalar_adv(x_spec, x_grid):
+        _, divflux = sht.vort_div_from_uv(g.u * x_grid, g.v * x_grid)
+        rest = x_grid * g.div - _vert_advect(vc, sdot, x_grid)
+        return -divflux + sht.analyze(rest).astype(x_spec.dtype)
+
+    N_q = scalar_adv(s.q, g.q)
+    N_ql = scalar_adv(s.ql, g.ql)
+    N_qi = scalar_adv(s.qi, g.qi)
+    N_a = scalar_adv(s.a, g.a)
+
+    N = SpectralState(vort=N_vort.astype(s.vort.dtype),
+                      div=N_div.astype(s.div.dtype),
+                      T=N_T, lnps=N_lnps, q=N_q, ql=N_ql, qi=N_qi, a=N_a)
+    return N, g
+
+
+def semi_implicit_step(sht, vc, now: SpectralState, prev: SpectralState,
+                       N: SpectralState, dt2):
+    """Leapfrog step prev -> new over window dt2 (=2*dt; =dt on step one).
+
+    Delta-form semi-implicit treatment of the linear gravity-wave terms
+    (G T, R Tref lnps in the divergence eq; W D in T; -b.D in lnps).
+    """
+    h = dt2 / 2.0
+    Minv = vc.implicit_inverse(h, sht.trunc)            # [Nn, L, L]
+    lam = (-sht.laplacian)                              # +n(n+1)/a^2, [M, N]
+    G = vc.G
+    W = vc.W
+    b = vc.b
+    Tref = vc.tref
+
+    # explicit candidates
+    T_star = prev.T + dt2 * N.T
+    pi_star = prev.lnps + dt2 * N.lnps
+    # explicit parts of (X+ + X- - 2 X^t) entering the implicit correction
+    dT_expl = 2.0 * (prev.T - now.T) + dt2 * N.T
+    dPi_expl = 2.0 * (prev.lnps - now.lnps) + dt2 * N.lnps
+    rhs = (prev.div + dt2 * N.div
+           + h * lam[None] * (jnp.einsum("kj,j...->k...",
+                                         G.astype(now.T.dtype), dT_expl)
+                              + c.rd * Tref * dPi_expl[None]))
+    # (I - A) D+ = rhs + A (prev.div - 2 now.div),
+    # A = h^2 lam (G W - R Tref 1 b^T)  per spectral mode
+    GW = (G @ W - c.rd * Tref * jnp.outer(jnp.ones(vc.nlev), b)).astype(
+        now.div.dtype)
+    corr = prev.div - 2.0 * now.div
+    Acorr = (h * h) * lam[None] * jnp.einsum("kj,j...->k...", GW, corr)
+    x = rhs + Acorr
+    div_new = jnp.einsum("nlj,jmn->lmn", Minv.astype(x.dtype), x)
+
+    dDiv = div_new + prev.div - 2.0 * now.div
+    T_new = T_star + h * jnp.einsum("kj,j...->k...", W.astype(x.dtype), dDiv)
+    pi_new = pi_star - h * jnp.einsum("j,j...->...", b.astype(x.dtype), dDiv)
+
+    new = SpectralState(
+        vort=prev.vort + dt2 * N.vort,
+        div=div_new,
+        T=T_new,
+        lnps=pi_new,
+        q=prev.q + dt2 * N.q,
+        ql=prev.ql + dt2 * N.ql,
+        qi=prev.qi + dt2 * N.qi,
+        a=prev.a + dt2 * N.a,
+    )
+    return new
+
+
+def hyperdiffuse(sht, s: SpectralState, dt, tau=3600.0 * 4):
+    """Implicit del^4 damping; smallest resolved scale damped at rate 1/tau."""
+    lam_max = sht.trunc * (sht.trunc + 1) / sht.radius ** 2
+    nu = 1.0 / (tau * lam_max ** 2)
+    fac = 1.0 / (1.0 + dt * nu * sht.laplacian ** 2)
+    damp = lambda x: x * fac
+    return SpectralState(vort=damp(s.vort), div=damp(s.div), T=damp(s.T),
+                         lnps=s.lnps, q=damp(s.q), ql=damp(s.ql),
+                         qi=damp(s.qi), a=damp(s.a))
+
+
+def robert_filter(now, prev_f, new, eps=0.05):
+    """Robert-Asselin filter: filtered 'now' for the next step."""
+    f = lambda n, p, w: n + eps * (w - 2.0 * n + p)
+    return SpectralState(*[f(n, p, w) for n, p, w in zip(now, prev_f, new)])

@@ -1,0 +1,386 @@
+"""GCM model: phase-split stepping + the column API the coupler consumes.
+
+Reproduces the OpenIFS surface consumed by the reference coupler
+(SURVEY.md section 2.2): the three-phase timestep split at the cloud scheme,
+the per-column SP mask, batched profile getters (U, V, T, SH, QL, QI,
+Pfull, Phalf, A, Zgfull, Zghalf), surface-field getters, and accepted
+external profile tendencies for U, V, T, SH, QL, QI, A
+(splib.py:186-188, 296-299, 335, 472-480; spcpl.py:32-33, 62-75, 535-542).
+
+The compute core is functional and jitted: GCMModel is a thin host-side
+shell holding the device-resident state pytree; the fused coupled step
+(coupling/coupler.py) calls the phase functions directly on device.
+"""
+
+import dataclasses
+import datetime
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ... import constants as c
+from ...utils import thermo
+from . import spharm, vertical, dycore, physics
+
+
+class GCMState(NamedTuple):
+    """Device-resident GCM state between phases."""
+
+    now: dycore.SpectralState       # filtered state at t
+    prev: dycore.SpectralState      # filtered state at t - dt
+    new: dycore.SpectralState       # provisional state at t + dt (mid-phase)
+    grid: dycore.GridFields         # grid view of `new` (valid after phase A)
+    sfc: dict                       # surface flux fields (valid after phase A)
+    sp_tend: dict                   # dense SP tendency maps [L, nlat, nlon]
+    vdiff_mask: jnp.ndarray         # [nlat, nlon] 1 = vdiff active
+    time: jnp.ndarray               # model time (s)
+
+
+def _zero_sp_tend(nlev, nlat, nlon, dtype=jnp.float32):
+    z = jnp.zeros((nlev, nlat, nlon), dtype)
+    return {k: z for k in ("U", "V", "T", "SH", "QL", "QI", "A")}
+
+
+@dataclasses.dataclass(frozen=True)
+class GCMConfig:
+    trunc: int = 21
+    nlev: int = 19
+    dt: float = 900.0
+    tref: float = 300.0
+    start_date: str = "2000-01-01T00:00:00"
+    diffusion_tau: float = 4.0 * 3600.0
+    robert_eps: float = 0.05
+    phys: physics.PhysicsParams = physics.PhysicsParams()
+
+
+class GCMCore:
+    """Functional core: precomputed operators + jitted phase functions."""
+
+    def __init__(self, cfg: GCMConfig):
+        self.cfg = cfg
+        self.sht = spharm.SpectralTransform(cfg.trunc)
+        self.vc = vertical.VerticalCoords(cfg.nlev, tref=cfg.tref)
+        # warm the implicit-inverse caches (host-side numpy inversions)
+        self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
+        self.vc.implicit_inverse(cfg.dt / 4.0, cfg.trunc)
+        mu = np.asarray(self.sht.mu)
+        self.lat_rad = jnp.asarray(np.arcsin(mu), jnp.float32)[:, None]
+        self.fcor = jnp.asarray(2 * c.omega * mu, jnp.float32)[:, None]
+        self.nlat, self.nlon = self.sht.nlat, self.sht.nlon
+        self.ncols = self.nlat * self.nlon
+
+    # ---- initial condition -------------------------------------------------
+
+    def initial_state(self, seed=0) -> GCMState:
+        sht, vc, cfg = self.sht, self.vc, self.cfg
+        L, M, N = cfg.nlev, sht.M, sht.N
+        ps = c.pref0
+        p_full = vc.sf[:, None, None] * ps
+        Teq = physics.equilibrium_temperature(p_full, self.lat_rad,
+                                              cfg.phys)
+        T_grid = jnp.broadcast_to(Teq, (L, self.nlat, self.nlon))
+        q_grid = 0.7 * thermo.qsat_liq(T_grid, p_full)
+        spec = dycore.SpectralState.zeros(L, M, N)
+        spec = spec._replace(
+            T=sht.analyze(T_grid).astype(jnp.complex64),
+            q=sht.analyze(q_grid).astype(jnp.complex64),
+        )
+        # small rotational perturbation to break zonal symmetry
+        key = jax.random.PRNGKey(seed)
+        pert = 1e-6 * (jax.random.normal(key, (L, M, N))
+                       + 1j * jax.random.normal(jax.random.split(key)[0],
+                                                (L, M, N)))
+        keep = (jnp.arange(N)[None, :] < 8) & (jnp.arange(M)[:, None] < 8)
+        spec = spec._replace(vort=(spec.vort + pert * keep).astype(jnp.complex64)
+                             * self.sht.mask)
+        grid = dycore.to_grid(sht, vc, spec)
+        sfc = self._surface(grid)
+        return GCMState(
+            now=spec, prev=spec, new=spec, grid=grid, sfc=sfc,
+            sp_tend=_zero_sp_tend(L, self.nlat, self.nlon),
+            vdiff_mask=jnp.ones((self.nlat, self.nlon), jnp.float32),
+            time=jnp.zeros((), jnp.float32),
+        )
+
+    # ---- helpers -----------------------------------------------------------
+
+    def _surface(self, grid):
+        ps = c.pref0 * jnp.exp(grid.lnps)
+        z1 = c.rd * grid.T[-1] / c.grav * (1.0 - self.vc.sf[-1]) * 2.0
+        z1 = jnp.maximum(z1, 10.0)
+        return physics.surface_fluxes(grid.u[-1], grid.v[-1], grid.T[-1],
+                                      grid.q[-1], ps, z1, self.lat_rad,
+                                      self.cfg.phys)
+
+    def _layer_depths(self, grid):
+        """dz of each layer [L, nlat, nlon] from hydrostatics."""
+        ps = c.pref0 * jnp.exp(grid.lnps)[None]
+        dp = self.vc.ds[:, None, None] * ps
+        rho = (self.vc.sf[:, None, None] * ps) / (c.rd * jnp.maximum(
+            grid.T, 100.0))
+        return dp / (rho * c.grav)
+
+    # ---- phases ------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def phase_a(self, state: GCMState, first: bool = False) -> GCMState:
+        """Dynamics step + pre-cloud physics (radiation, vdiff).
+
+        evolve_model_until_cloud_scheme equivalent; model time unchanged.
+        ``first`` (static) selects the Euler start (dt window) over the
+        regular leapfrog window (2 dt).
+        """
+        cfg, sht, vc = self.cfg, self.sht, self.vc
+        N, _ = dycore.tendencies(sht, vc, state.now, self.fcor)
+        dt2 = cfg.dt if first else 2.0 * cfg.dt
+        new = dycore.semi_implicit_step(sht, vc, state.now, state.prev,
+                                        N, dt2)
+        new = dycore.hyperdiffuse(sht, new, cfg.dt, cfg.diffusion_tau)
+        grid = dycore.to_grid(sht, vc, new)
+        sfc = self._surface(grid)
+        # physics adjustments on the provisional state
+        p_full = self.vc.sf[:, None, None] * c.pref0 * jnp.exp(grid.lnps)[None]
+        dT_rad = physics.radiation(grid.T, p_full, self.lat_rad, vc.sf,
+                                   cfg.phys)
+        dz = self._layer_depths(grid)
+        du, dv, dT_vd, dq_vd = physics.vertical_diffusion(
+            vc, grid.u, grid.v, grid.T, grid.q, sfc, dz, cfg.phys,
+            state.vdiff_mask)
+        grid = grid._replace(
+            u=grid.u + cfg.dt * du,
+            v=grid.v + cfg.dt * dv,
+            T=grid.T + cfg.dt * (dT_rad + dT_vd),
+            q=jnp.maximum(grid.q + cfg.dt * dq_vd, 0.0),
+        )
+        return state._replace(new=new, grid=grid, sfc=sfc)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def phase_cloud(self, state: GCMState) -> GCMState:
+        """Cloud scheme (large-scale condensation + cloud fraction).
+
+        evolve_model_cloud_scheme equivalent; also clears the SP tendency
+        buffers (reference note 'overwrites set tendencies', splib.py:299).
+        """
+        cfg = self.cfg
+        g = state.grid
+        p_full = self.vc.sf[:, None, None] * c.pref0 * jnp.exp(g.lnps)[None]
+        T, q, ql, qi, a = physics.cloud_scheme(
+            g.T, jnp.maximum(g.q, 0.0), jnp.maximum(g.ql, 0.0),
+            jnp.maximum(g.qi, 0.0), jnp.clip(g.a, 0.0, 1.0),
+            p_full, cfg.dt, cfg.phys)
+        grid = g._replace(T=T, q=q, ql=ql, qi=qi, a=a)
+        return state._replace(
+            grid=grid,
+            sp_tend=_zero_sp_tend(cfg.nlev, self.nlat, self.nlon))
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def phase_b(self, state: GCMState, first: bool = False) -> GCMState:
+        """Apply SP tendencies, re-analyze, time-filter, advance the clock.
+
+        evolve_model_from_cloud_scheme equivalent.
+        """
+        cfg, sht = self.cfg, self.sht
+        g = state.grid
+        st = state.sp_tend
+        dt = cfg.dt
+        g = g._replace(
+            u=g.u + dt * st["U"], v=g.v + dt * st["V"],
+            T=g.T + dt * st["T"],
+            q=jnp.maximum(g.q + dt * st["SH"], 0.0),
+            ql=jnp.maximum(g.ql + dt * st["QL"], 0.0),
+            qi=jnp.maximum(g.qi + dt * st["QI"], 0.0),
+            a=jnp.clip(g.a + dt * st["A"], 0.0, 1.0),
+        )
+        vort, div = sht.vort_div_from_uv(g.u, g.v)
+        cplx = state.new.T.dtype
+        new = state.new._replace(
+            vort=vort.astype(cplx), div=div.astype(cplx),
+            T=sht.analyze(g.T).astype(cplx),
+            q=sht.analyze(g.q).astype(cplx),
+            ql=sht.analyze(g.ql).astype(cplx),
+            qi=sht.analyze(g.qi).astype(cplx),
+            a=sht.analyze(g.a).astype(cplx),
+        )
+        if first:
+            prev = state.now  # Euler start: no filtering on step one
+        else:
+            prev = dycore.robert_filter(state.now, state.prev, new,
+                                        cfg.robert_eps)
+        return state._replace(
+            prev=prev,
+            now=new,
+            time=state.time + dt,
+        )
+
+    def step(self, state: GCMState, first=False) -> GCMState:
+        return self.phase_b(self.phase_cloud(self.phase_a(state, first)),
+                            first)
+
+    # ---- column extraction (used by the coupler) ---------------------------
+
+    def column_profiles(self, state: GCMState, col_idx):
+        """Batched per-column profiles at the post-cloud-scheme point.
+
+        col_idx: [n] flat column indices (lat-major). Returns a dict of
+        [n, L] (or [n, L+1]) arrays matching the reference gcm_vars
+        (spcpl.py:32), levels ordered top-first like OpenIFS.
+        """
+        g = state.grid
+        j = col_idx // self.nlon
+        i = col_idx % self.nlon
+        take = lambda f: f[:, j, i].T                     # [n, L]
+        ps = c.pref0 * jnp.exp(g.lnps[j, i])              # [n]
+        pf = ps[:, None] * self.vc.sf[None, :]
+        ph = ps[:, None] * self.vc.sh[None, :]
+        Tcols = take(g.T)
+        zg_full = self.vc.geopotential_full(Tcols)        # [n, L]
+        zg_half = self.vc.geopotential_half(Tcols)        # [n, L+1]
+        return {
+            "U": take(g.u), "V": take(g.v), "T": Tcols,
+            "SH": take(g.q), "QL": take(g.ql), "QI": take(g.qi),
+            "A": take(g.a), "Pfull": pf, "Phalf": ph,
+            "Zgfull": zg_full, "Zghalf": zg_half,
+        }
+
+    def surface_fields(self, state: GCMState, col_idx):
+        j = col_idx // self.nlon
+        i = col_idx % self.nlon
+        out = {}
+        for k in ("Z0M", "Z0H", "QLflux", "QIflux", "SHflux", "TLflux",
+                  "TSflux"):
+            out[k] = state.sfc[k][j, i]
+        return out
+
+    def with_sp_tendencies(self, state: GCMState, col_idx, tend):
+        """Scatter per-column tendencies into the dense SP buffers.
+
+        tend: dict var -> [n, L]; col_idx: [n].
+        """
+        j = col_idx // self.nlon
+        i = col_idx % self.nlon
+        new_t = dict(state.sp_tend)
+        for k, v in tend.items():
+            new_t[k] = new_t[k].at[:, j, i].set(v.T)
+        return state._replace(sp_tend=new_t)
+
+
+class GCMModel:
+    """Host-side shell with the reference-like duck-typed API."""
+
+    support_async = False
+
+    def __init__(self, cfg: GCMConfig = GCMConfig(), seed=0):
+        self.core = GCMCore(cfg)
+        self.cfg = cfg
+        self.state = self.core.initial_state(seed)
+        self.mask = set()
+        self.step_count = 0
+        self.exp_name = "TEST"
+        self.num_steps = 0
+        self.step = 0
+        lats = self.core.sht.latitudes_deg()
+        lons = self.core.sht.longitudes_deg()
+        self.latitudes = np.repeat(lats, len(lons))
+        self.longitudes = np.tile(lons, len(lats))
+        self.ktot = cfg.nlev
+        self._start = datetime.datetime.fromisoformat(cfg.start_date)
+        self._phase = "idle"
+        self._first = True
+
+    # -- lifecycle (initialize_code/commit_* are no-ops in-process) --------
+    def initialize_code(self):
+        pass
+
+    def commit_parameters(self):
+        pass
+
+    def commit_grid(self):
+        pass
+
+    def cleanup_code(self):
+        pass
+
+    def stop(self):
+        pass
+
+    # -- reference API ------------------------------------------------------
+    def get_start_datetime(self):
+        return self._start
+
+    def get_timestep(self):
+        return float(self.cfg.dt)
+
+    def get_model_time(self):
+        return float(self.state.time)
+
+    def get_itot(self):
+        return self.core.nlon
+
+    def get_jtot(self):
+        return self.core.nlat
+
+    def get_ktot(self):
+        return self.cfg.nlev
+
+    def set_mask(self, i):
+        self.mask.add(int(i))
+
+    def set_vdf_in_sp_mask(self, value):
+        """value=True: vdiff stays ON everywhere; False: disabled in SP cols.
+
+        NOTE the reference calls set_vdf_in_sp_mask(not couple_surface) with
+        OpenIFS semantics 'True = disable vdiff inside mask'; we keep those
+        semantics: value=True disables vertical diffusion in masked columns.
+        """
+        m = np.ones((self.core.nlat, self.core.nlon), np.float32)
+        if value:
+            for idx in self.mask:
+                m[idx // self.core.nlon, idx % self.core.nlon] = 0.0
+        self._vdf_disable_in_mask = value
+        self.state = self.state._replace(vdiff_mask=jnp.asarray(m))
+
+    def _refresh_vdiff_mask(self):
+        if getattr(self, "_vdf_disable_in_mask", False):
+            self.set_vdf_in_sp_mask(True)
+
+    def evolve_model_until_cloud_scheme(self):
+        self._refresh_vdiff_mask()
+        self.state = self.core.phase_a(self.state, self._first)
+        self._phase = "pre_cloud"
+        return True
+
+    def evolve_model_cloud_scheme(self):
+        self.state = self.core.phase_cloud(self.state)
+        self._phase = "post_cloud"
+        return True
+
+    def evolve_model_from_cloud_scheme(self):
+        self.state = self.core.phase_b(self.state, self._first)
+        self._first = False
+        self._phase = "idle"
+        self.step_count += 1
+        return True
+
+    def get_profile_fields(self, var, cols):
+        cols = jnp.asarray(np.asarray(cols, np.int32))
+        prof = self.core.column_profiles(self.state, cols)
+        return np.asarray(prof[var])
+
+    def get_profile_field(self, var, col):
+        return self.get_profile_fields(var, [col])[0]
+
+    def get_surface_field(self, var, cols):
+        cols = jnp.asarray(np.asarray(cols, np.int32))
+        sf = self.core.surface_fields(self.state, cols)
+        return np.asarray(sf[var])
+
+    def set_profile_tendency(self, var, col_index, profile):
+        cols = jnp.asarray(np.asarray([col_index], np.int32))
+        t = jnp.asarray(np.asarray(profile, np.float32))[None]
+        self.state = self.core.with_sp_tendencies(self.state, cols, {var: t})
+
+    def write_restart(self):
+        pass

@@ -1,0 +1,214 @@
+"""Spherical-harmonic transforms on the Gaussian grid (pure JAX).
+
+The TPU-native replacement for the spectral-transform core of the
+reference's external GCM (OpenIFS, consumed through the splib call sites —
+SURVEY.md section 2.2): real FFT in longitude plus Legendre transforms
+expressed as einsums over precomputed associated-Legendre tables, so the
+O(nlat * M * N) contraction lands on the MXU. Transposes that a
+distributed-memory spectral model does with MPI all-to-alls are simply
+sharded-einsum layouts here.
+
+Conventions:
+- triangular truncation T; coefficient arrays are [..., M, N] with
+  M = T+1 zonal wavenumbers (m >= 0, complex; m < 0 implied by conjugate
+  symmetry) and N = T+2 total wavenumbers (the extra n = T+1 row holds
+  recurrence workspace and is kept zero in prognostic state).
+- P tables are orthonormal on mu in [-1, 1]: sum_j w_j P[j,m,n]^2 = 1.
+- grid arrays are [..., nlat, nlon], latitude index j runs north -> south.
+"""
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+# Gaussian grids per truncation: quadratic (alias-free) unless noted.
+GRID_FOR_TRUNC = {
+    10: (32, 16),
+    21: (64, 32),
+    31: (96, 48),
+    42: (128, 64),
+    63: (192, 96),
+    85: (256, 128),
+    106: (320, 160),
+    159: (480, 240),
+    213: (640, 320),
+    255: (768, 384),
+    319: (960, 480),   # linear-ish
+    639: (1280, 640),  # linear (TL639)
+}
+
+
+def gaussian_latitudes(nlat):
+    """(mu, w): Gaussian nodes (sin latitude) and weights, north->south."""
+    mu, w = np.polynomial.legendre.leggauss(nlat)
+    order = np.argsort(-mu)  # north first
+    return mu[order], w[order]
+
+
+@functools.lru_cache(maxsize=8)
+def legendre_tables(trunc, nlat):
+    """(P, H) tables as numpy float64: [nlat, M, N].
+
+    P[j, m, n] = orthonormal associated Legendre P̄_n^m(mu_j); zero for n < m.
+    H[j, m, n] = (1 - mu^2) dP̄_n^m/dmu, from the recurrence
+        H_nm = -n eps_{n+1,m} P_{n+1,m} + (n+1) eps_{nm} P_{n-1,m},
+        eps_nm = sqrt((n^2 - m^2) / (4 n^2 - 1)).
+    """
+    M = trunc + 1
+    N = trunc + 2
+    mu, _ = gaussian_latitudes(nlat)
+    sinl = np.sqrt(1.0 - mu ** 2)
+    # need P up to n = trunc + 2 for H at n = trunc + 1
+    NP = trunc + 3
+    P = np.zeros((nlat, M, NP))
+    P[:, 0, 0] = 1.0 / np.sqrt(2.0)
+    for m in range(1, M):
+        P[:, m, m] = -np.sqrt((2 * m + 1) / (2.0 * m)) * sinl * P[:, m - 1, m - 1]
+    for m in range(M):
+        if m + 1 < NP:
+            P[:, m, m + 1] = mu * np.sqrt(2 * m + 3.0) * P[:, m, m]
+        for n in range(m + 2, NP):
+            a = np.sqrt((4.0 * n * n - 1.0) / (n * n - m * m))
+            b = np.sqrt(((n - 1.0) ** 2 - m * m) / (4.0 * (n - 1.0) ** 2 - 1.0))
+            P[:, m, n] = a * (mu * P[:, m, n - 1] - b * P[:, m, n - 2])
+    eps = np.zeros((M, NP + 1))
+    for m in range(M):
+        for n in range(m, NP + 1):
+            if n > 0:
+                eps[m, n] = np.sqrt(max(n * n - m * m, 0.0) /
+                                    (4.0 * n * n - 1.0))
+    H = np.zeros((nlat, M, N))
+    for m in range(M):
+        for n in range(m, N):
+            t = (n + 1.0) * eps[m, n] * (P[:, m, n - 1] if n - 1 >= m else 0.0)
+            t = t - n * eps[m, n + 1] * P[:, m, n + 1]
+            H[:, m, n] = t
+    return P[:, :, :N], H
+
+
+class SpectralTransform:
+    """Precomputed transform operator for one (truncation, grid) pair."""
+
+    def __init__(self, trunc, nlat=None, nlon=None, radius=6.371e6,
+                 dtype=jnp.float32):
+        if nlat is None or nlon is None:
+            nlon, nlat = GRID_FOR_TRUNC[trunc]
+        self.trunc = trunc
+        self.nlat = nlat
+        self.nlon = nlon
+        self.radius = radius
+        self.M = trunc + 1
+        self.N = trunc + 2
+        mu, w = gaussian_latitudes(nlat)
+        P, H = legendre_tables(trunc, nlat)
+        rdtype = dtype
+        self.mu = jnp.asarray(mu, rdtype)
+        self.w = jnp.asarray(w, rdtype)
+        self.cosl = jnp.asarray(np.sqrt(1 - mu ** 2), rdtype)
+        self.P = jnp.asarray(P, rdtype)
+        self.H = jnp.asarray(H, rdtype)
+        self.Pw = jnp.asarray(P * w[:, None, None], rdtype)
+        self.Hw = jnp.asarray(H * w[:, None, None], rdtype)
+        # weights / masks on (m, n)
+        n_idx = np.arange(self.N)[None, :] * np.ones((self.M, 1))
+        m_idx = np.arange(self.M)[:, None] * np.ones((1, self.N))
+        tri = (n_idx >= m_idx) & (n_idx <= trunc)
+        self.mask = jnp.asarray(tri, rdtype)
+        self.n = jnp.asarray(n_idx, rdtype)
+        self.m = jnp.asarray(m_idx, rdtype)
+        self.laplacian = jnp.where(self.mask > 0,
+                                   -n_idx * (n_idx + 1), 0.0
+                                   ).astype(rdtype) / (radius ** 2)
+        inv = np.zeros((self.M, self.N))
+        nz = n_idx > 0
+        inv[nz] = -(radius ** 2) / (n_idx * (n_idx + 1))[nz]
+        self.inv_laplacian = jnp.asarray(inv * tri, rdtype)
+
+    # ---- scalar transforms -------------------------------------------------
+
+    def _fft(self, f):
+        """[..., nlat, nlon] -> zonal spectra [..., nlat, M] (complex)."""
+        fm = jnp.fft.rfft(f, axis=-1) / self.nlon
+        return fm[..., : self.M]
+
+    def _ifft(self, fm):
+        """zonal spectra [..., nlat, M] -> grid [..., nlat, nlon]."""
+        shape = fm.shape[:-1] + (self.nlon // 2 + 1,)
+        full = jnp.zeros(shape, fm.dtype)
+        full = full.at[..., : self.M].set(fm)
+        return jnp.fft.irfft(full * self.nlon, n=self.nlon, axis=-1)
+
+    def analyze(self, f):
+        """Grid [..., nlat, nlon] -> spectral [..., M, N]."""
+        fm = self._fft(f)
+        return jnp.einsum("...jm,jmn->...mn", fm, self.Pw) * self.mask
+
+    def synthesize(self, s):
+        """Spectral [..., M, N] -> grid [..., nlat, nlon]."""
+        fm = jnp.einsum("...mn,jmn->...jm", s * self.mask, self.P)
+        return self._ifft(fm)
+
+    # ---- derivatives -------------------------------------------------------
+
+    def ddlon(self, s):
+        """Spectral d/dlambda: multiply by i m."""
+        return s * (1j * self.m)
+
+    def synthesize_ddmu(self, s):
+        """Grid values of (1 - mu^2) df/dmu from spectral f."""
+        fm = jnp.einsum("...mn,jmn->...jm", s * self.mask, self.H)
+        return self._ifft(fm)
+
+    def uv_from_vort_div(self, vort, div):
+        """Grid (u, v) from spectral vorticity & divergence.
+
+        psi = inv_lap(vort), chi = inv_lap(div);
+        u = (1/(a(1-mu^2)))[ dchi/dlambda - (1-mu^2) dpsi/dmu ] * a-scaling:
+        u cosphi = (1/a)[dchi/dlambda - (1-mu^2)dpsi/dmu] etc.
+        Returns true u, v (not cos-weighted).
+        """
+        psi = vort * self.inv_laplacian
+        chi = div * self.inv_laplacian
+        dchi_dl = self.synthesize(self.ddlon(chi))
+        dpsi_dl = self.synthesize(self.ddlon(psi))
+        dpsi_dm = self.synthesize_ddmu(psi)
+        dchi_dm = self.synthesize_ddmu(chi)
+        coslat = self.cosl[:, None]
+        ucos = (dchi_dl - dpsi_dm) / self.radius
+        vcos = (dpsi_dl + dchi_dm) / self.radius
+        return ucos / coslat, vcos / coslat
+
+    def vort_div_from_uv(self, u, v):
+        """Spectral (vorticity, divergence) from grid (u, v).
+
+        Uses the integration-by-parts vector analysis:
+        div_nm  = (1/a) [ analyze(i m * u/cos) - analyzeH(v/cos) ]
+        vort_nm = (1/a) [ analyze(i m * v/cos) + analyzeH(u/cos) ]
+        where analyzeH projects with H and the 1/(1-mu^2) factor is folded
+        into the cos division.
+        """
+        coslat = self.cosl[:, None]
+        A = u / coslat    # u / cos
+        B = v / coslat
+        Am = self._fft(A)
+        Bm = self._fft(B)
+        im = (1j * jnp.arange(self.M))
+        div = (jnp.einsum("...jm,jmn->...mn", Am * im, self.Pw)
+               - jnp.einsum("...jm,jmn->...mn", Bm, self.Hw)) / self.radius
+        vort = (jnp.einsum("...jm,jmn->...mn", Bm * im, self.Pw)
+                + jnp.einsum("...jm,jmn->...mn", Am, self.Hw)) / self.radius
+        return vort * self.mask, div * self.mask
+
+    def grad(self, s):
+        """Grid (df/dx, df/dy) (true horizontal gradient) from spectral f."""
+        dfdl = self.synthesize(self.ddlon(s))
+        dfdm = self.synthesize_ddmu(s)
+        coslat = self.cosl[:, None]
+        return dfdl / (self.radius * coslat), dfdm / (self.radius * coslat)
+
+    def latitudes_deg(self):
+        return np.degrees(np.arcsin(np.asarray(self.mu)))
+
+    def longitudes_deg(self):
+        return np.arange(self.nlon) * 360.0 / self.nlon

@@ -1,0 +1,150 @@
+"""GCM dycore + model API tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sp_coupler_tpu import constants as c
+from sp_coupler_tpu.models.gcm import vertical, model
+
+
+@pytest.fixture(scope="module")
+def gcm():
+    cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0)
+    return model.GCMModel(cfg)
+
+
+class TestVertical:
+    def test_sigma_levels_monotone(self):
+        vc = vertical.VerticalCoords(19)
+        sh = np.asarray(vc.sh)
+        assert sh[0] == 0.0 and np.isclose(sh[-1], 1.0)
+        assert np.all(np.diff(sh) > 0)
+
+    def test_geopotential_isothermal(self):
+        """Isothermal atmosphere: Phi_k = R T ln(ps/p_k) along the column."""
+        vc = vertical.VerticalCoords(12)
+        T = jnp.full((1, 12), 250.0)
+        phi = np.asarray(vc.geopotential_full(T))[0]
+        sf = np.asarray(vc.sf)
+        want = c.rd * 250.0 * (-np.log(sf))
+        # interior levels follow the analytic profile closely
+        assert np.allclose(phi[2:], want[2:], rtol=0.03)
+        # monotone decreasing toward the surface
+        assert np.all(np.diff(phi) < 0)
+
+    def test_geopotential_half_levels(self):
+        vc = vertical.VerticalCoords(12)
+        T = jnp.full((1, 12), 250.0)
+        phih = np.asarray(vc.geopotential_half(T))[0]
+        assert phih[-1] == 0.0          # surface
+        assert np.all(np.diff(phih[1:]) < 0)
+        phif = np.asarray(vc.geopotential_full(T))[0]
+        # full levels lie between their bounding half levels
+        assert np.all(phif[1:] <= phih[1:-1] + 1e-3)
+        assert np.all(phif[:-1] >= phih[1:-1] - 1e-3)
+
+    def test_implicit_inverse_identity_at_n0(self):
+        vc = vertical.VerticalCoords(8)
+        Minv = np.asarray(vc.implicit_inverse(900.0, 10))
+        assert np.allclose(Minv[0], np.eye(8), atol=1e-6)
+
+
+class TestDycoreStability:
+    def test_resting_atmosphere_stays_at_rest(self):
+        """Balanced initial state must not generate large spurious winds."""
+        cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0)
+        m = model.GCMModel(cfg, seed=1)
+        for k in range(10):
+            m.evolve_model_until_cloud_scheme()
+            m.evolve_model_cloud_scheme()
+            m.evolve_model_from_cloud_scheme()
+        g = m.state.grid
+        assert bool(jnp.all(jnp.isfinite(g.u)))
+        umax = float(jnp.max(jnp.abs(g.u)))
+        # thermal-wind spin-up from Teq gradients is physical; just require
+        # boundedness (no gravity-wave blowup)
+        assert umax < 80.0, umax
+        ps = c.pref0 * np.exp(np.asarray(g.lnps))
+        assert 9.0e4 < ps.min() and ps.max() < 1.1e5
+
+    def test_100_steps_finite(self):
+        cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0)
+        m = model.GCMModel(cfg, seed=2)
+        for k in range(100):
+            m.evolve_model_until_cloud_scheme()
+            m.evolve_model_cloud_scheme()
+            m.evolve_model_from_cloud_scheme()
+        g = m.state.grid
+        for f in (g.u, g.v, g.T, g.q):
+            assert bool(jnp.all(jnp.isfinite(f)))
+        assert 150.0 < float(jnp.min(g.T)) and float(jnp.max(g.T)) < 350.0
+        assert float(jnp.max(jnp.abs(g.u))) < 150.0
+        # moisture stays non-negative after grid-space clipping
+        assert float(jnp.min(g.q)) >= 0.0
+        assert float(m.state.time) == 100 * 1800.0
+
+
+class TestModelAPI:
+    def test_grid_metadata(self, gcm):
+        assert len(gcm.latitudes) == gcm.get_itot() * gcm.get_jtot()
+        assert gcm.latitudes[0] == gcm.latitudes[1]  # lat-major flattening
+        assert gcm.longitudes[0] != gcm.longitudes[1]
+
+    def test_profile_fields_shapes(self, gcm):
+        gcm.evolve_model_until_cloud_scheme()
+        gcm.evolve_model_cloud_scheme()
+        cols = [5, 100, 200]
+        for var, nl in (("U", 8), ("T", 8), ("SH", 8), ("Pfull", 8),
+                        ("Phalf", 9), ("Zgfull", 8), ("Zghalf", 9),
+                        ("A", 8), ("QL", 8), ("QI", 8)):
+            arr = gcm.get_profile_fields(var, cols)
+            assert arr.shape == (3, nl), var
+        T = gcm.get_profile_fields("T", cols)
+        assert np.all(T > 150) and np.all(T < 350)
+        Ph = gcm.get_profile_fields("Phalf", cols)
+        assert np.all(np.diff(Ph, axis=1) > 0)  # top-first: increasing down
+        Zg = gcm.get_profile_fields("Zghalf", cols)
+        assert np.allclose(Zg[:, -1], 0.0)      # surface geopotential 0
+
+    def test_surface_fields(self, gcm):
+        out = gcm.get_surface_field("TSflux", [3, 4])
+        assert out.shape == (2,)
+        z0 = gcm.get_surface_field("Z0M", [3])
+        assert z0[0] > 0
+
+    def test_sp_tendency_applied(self):
+        cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0)
+        m = model.GCMModel(cfg, seed=3)
+        col = 150
+        m.set_mask(col)
+        m.evolve_model_until_cloud_scheme()
+        m.evolve_model_cloud_scheme()
+        T_before = m.get_profile_fields("T", [col])[0]
+        dT = np.full(8, 1e-3, np.float32)  # 1 mK/s warming
+        m.set_profile_tendency("T", col, dT)
+        m.evolve_model_from_cloud_scheme()
+        m.evolve_model_until_cloud_scheme()
+        m.evolve_model_cloud_scheme()
+        T_after = m.get_profile_fields("T", [col])[0]
+        # the full dt * dT = 1.8 K lands on one column, but re-analysis at
+        # T10 truncation smears a single-column delta over the globe, so only
+        # a fraction remains locally; require a clearly positive signal
+        assert np.mean(T_after - T_before) > 0.05
+
+    def test_cloud_scheme_clears_sp_tendencies(self):
+        cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0)
+        m = model.GCMModel(cfg, seed=4)
+        m.set_profile_tendency("T", 10, np.ones(8, np.float32))
+        assert float(jnp.max(jnp.abs(m.state.sp_tend["T"]))) == 1.0
+        m.evolve_model_until_cloud_scheme()
+        m.evolve_model_cloud_scheme()
+        assert float(jnp.max(jnp.abs(m.state.sp_tend["T"]))) == 0.0
+
+    def test_vdiff_mask_semantics(self, gcm):
+        gcm.set_mask(7)
+        gcm.set_vdf_in_sp_mask(True)
+        m = np.asarray(gcm.state.vdiff_mask).ravel()
+        assert m[7] == 0.0 and m[8] == 1.0
+        gcm.set_vdf_in_sp_mask(False)
+        assert np.asarray(gcm.state.vdiff_mask).ravel()[7] == 1.0
