@@ -1,0 +1,157 @@
+"""Fused coupled step: one jitted program per GCM step.
+
+The reference's hot loop is a host-orchestrated chain of RPC batches
+(SURVEY.md section 3.2). Here the whole chain — GCM phase A + cloud scheme,
+column gather, profile conversion, forcing construction, optional
+variability nudge, the full LES substep scan, slab reductions, tendency
+remap + scatter, GCM phase B — compiles into a single XLA program. The
+host touches device data once per step, asynchronously, to write spifs.nc.
+
+Sharding: LES fleet state and all per-column arrays are constrained to the
+``les`` mesh axis; the GCM state is replicated (small at T21..T255). XLA
+inserts the gather/scatter collectives at the boundary.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import convert, nudge
+from ..models.les import step as lstep, diag as ldiag
+from ..models.les.state import LESForcing
+from ..parallel import sharding as shd
+
+
+class CoupledStepFn:
+    """Compiled coupled step for a fixed configuration."""
+
+    def __init__(self, gcm_core, les_grid, les_phys, sp_cols, dt_les,
+                 n_substeps, les_forcing_factor=1.0, gcm_forcing_factor=1.0,
+                 conservative=False, cplsurf=False, qt_variance=False,
+                 constant_T=False, mesh=None, seed=42):
+        self.core = gcm_core
+        self.grid = les_grid
+        self.phys = les_phys
+        self.cols = jnp.asarray(sp_cols, jnp.int32)
+        self.dt_les = float(dt_les)
+        self.n_substeps = int(n_substeps)
+        self.ffac = les_forcing_factor
+        self.gfac = gcm_forcing_factor
+        self.conservative = conservative
+        self.cplsurf = cplsurf
+        self.qt_variance = qt_variance
+        self.constant_T = constant_T
+        self.mesh = mesh
+        self.seed = seed
+        self.zf = les_grid.zf()
+        self.zh_full = les_grid.zh()
+        self._jit = jax.jit(self._step, static_argnames=("first",))
+
+    def __call__(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
+                 first=False):
+        return self._jit(gcm_state, les_state, prev_prof, rain_last,
+                         jnp.asarray(step_idx, jnp.int32), first=first)
+
+    # ------------------------------------------------------------------
+
+    def _les_profiles(self, les_state):
+        return jax.vmap(lambda s: ldiag.slab_profiles(self.grid, s))(
+            les_state)
+
+    def _step(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
+              first):
+        core, grid = self.core, self.grid
+        dt = core.cfg.dt
+
+        # --- GCM first half (phase A + cloud scheme) ---
+        gcm_state = core.phase_a(gcm_state, first)
+        gcm_state = core.phase_cloud(gcm_state)
+
+        # --- gather + convert SP columns ---
+        prof = core.column_profiles(gcm_state, self.cols)      # [n, L]
+        prof = shd.constrain_columns(prof, self.mesh)
+        conv = jax.vmap(lambda p: convert.convert_profiles(p, self.zf))(prof)
+
+        les_prof = self._les_profiles(les_state) if first else prev_prof
+
+        # --- forcings ---
+        fdict = jax.vmap(lambda cv, lp: convert.les_forcings(
+            cv, lp, dt, self.ffac))(
+            conv, {k: les_prof[k] for k in
+                   ("U", "V", "THL", "QT", "QL", "PS")})
+        rain = les_prof["Rain"]
+        rainrate = (rain - rain_last) / dt
+
+        n = self.cols.shape[0]
+        if self.cplsurf:
+            surf = core.surface_fields(gcm_state, self.cols)
+            z0m, z0h, wthl, wqt = convert.convert_surface_fluxes(
+                surf, prof["Phalf"][:, -1], prof["T"][:, -1])
+        else:
+            surf = None
+            z0m = jnp.full((n,), 0.1)
+            z0h = jnp.full((n,), 0.02)
+            wthl = jnp.zeros((n,))
+            wqt = jnp.zeros((n,))
+
+        forcing = LESForcing(
+            f_u=fdict["f_u"], f_v=fdict["f_v"], f_thl=fdict["f_thl"],
+            f_qt=fdict["f_qt"], f_ql=fdict["f_ql"], f_ps=fdict["f_ps"],
+            ql_ref=conv.ql, wthl=wthl, wqt=wqt, z0m=z0m, z0h=z0h)
+
+        nudge_diag = {}
+        if self.qt_variance:
+            fields = jax.vmap(ldiag.fields_3d)(les_state)
+            key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1),
+                                     step_idx)
+            keys = jax.random.split(key, n)
+            res = jax.vmap(lambda qt, thl, qs, qlr, p, k:
+                           nudge.variability_nudge(
+                               qt, thl, qs, qlr, p, k, dt,
+                               constant_T=self.constant_T))(
+                fields["QT"], fields["THL"], fields["Qsat"], conv.ql,
+                les_state.pbf, keys)
+            apply_nudge = jnp.logical_not(jnp.asarray(first))
+            qt_new = jnp.where(apply_nudge, res.qt, les_state.qt)
+            thl_new = jnp.where(apply_nudge, res.thl, les_state.thl)
+            les_state = les_state._replace(qt=qt_new, thl=thl_new)
+            nudge_diag = {"qt_alpha": res.alpha, "qt_beta": res.beta,
+                          "qt_std": res.qt_std}
+
+        # --- LES fleet evolve (the hot scan) ---
+        les_state = shd.constrain_fleet(les_state, self.mesh)
+        les_state = jax.vmap(
+            lambda s, f: lstep.evolve(grid, self.phys, s, f, self.dt_les,
+                                      self.n_substeps),
+            in_axes=(0, 0))(les_state, forcing)
+        les_state = shd.constrain_fleet(les_state, self.mesh)
+
+        prof_les = self._les_profiles(les_state)
+
+        # --- LES -> GCM tendencies ---
+        A_d = jax.vmap(lambda cf, Zh: ldiag.cloud_fraction_on_gcm_levels(
+            grid, cf, Zh))(prof_les["cloudfrac_z"], conv.Zh)
+        jles = {k: prof_les[k] for k in
+                ("U", "V", "THL", "QT", "QL", "QL_ice", "T", "Rhobf")}
+        tend, tdiag = jax.vmap(
+            lambda p, cv, lp, ad: convert.gcm_tendencies(
+                p, cv, lp, ad, self.zf, self.zh_full, dt,
+                factor=self.gfac, conservative=self.conservative))(
+            prof, conv, jles, A_d)
+        gcm_state = core.with_sp_tendencies(gcm_state, self.cols, tend)
+
+        # --- GCM second half ---
+        gcm_state = core.phase_b(gcm_state, first)
+
+        diag = {
+            "gcm": prof, "conv": conv, "forcing": fdict,
+            "rain": rain, "rainrate": rainrate,
+            "les": prof_les, "tend": tend, "t_diag": tdiag["t"],
+            "A_d": A_d, "z0m": z0m, "z0h": z0h, "wthl": wthl, "wqt": wqt,
+        }
+        if surf is not None:
+            diag["surf"] = surf
+        diag.update(nudge_diag)
+        return gcm_state, les_state, prof_les, rain, diag

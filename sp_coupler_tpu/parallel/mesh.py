@@ -1,0 +1,73 @@
+"""Device-mesh construction.
+
+The reference's parallel axes (SURVEY.md section 2.4) map onto named mesh
+axes instead of MPI rank blocks:
+
+- ``les``: instance parallelism (one LES per SP column; reference P1 -
+  process-per-instance + async RPC) -> batch-axis sharding
+- ``x``, ``y``: intra-instance domain decomposition (reference P2 -
+  --lesprocs / nprocx x nprocy) -> spatial sharding with halo exchange
+- the GCM's spectral transforms (reference P3 - --gcmprocs) are sharded
+  over the same devices: grid space along latitude (the ``les`` axis is
+  reused, as GCM and LES phases never overlap in time).
+
+Multi-host: jax.distributed.initialize + the same named mesh spanning all
+processes; collectives ride ICI within a slice and DCN across slices.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+
+def make_mesh(n_les=None, n_x=1, n_y=1, devices=None):
+    """Mesh with axes (les, x, y); defaults to all devices on `les`."""
+    devices = devices if devices is not None else jax.devices()
+    ndev = len(devices)
+    if n_les is None:
+        n_les = ndev // (n_x * n_y)
+    assert n_les * n_x * n_y == ndev, (
+        f"mesh {n_les}x{n_x}x{n_y} != {ndev} devices")
+    arr = np.asarray(devices).reshape(n_les, n_x, n_y)
+    return Mesh(arr, ("les", "x", "y"))
+
+
+def single_device_mesh():
+    return make_mesh(1, 1, 1, devices=jax.devices()[:1])
+
+
+def fleet_spec():
+    """PartitionSpec for LES fleet state [n_les, (nz), ny, nx]."""
+    return P("les")
+
+
+def fleet_spatial_spec():
+    """Fleet state sharded over instances and horizontal space.
+
+    Layout [n_les, nz, ny, nx]: batch over ``les``, y over ``y``, x over
+    ``x``; z replicated (vertical couplings — Poisson tridiagonal, cumsum —
+    stay local).
+    """
+    return P("les", None, "y", "x")
+
+
+def shard_fleet(state, mesh, spatial=False):
+    """Apply NamedSharding to every array in an LES fleet pytree."""
+    spec3 = fleet_spatial_spec() if spatial else fleet_spec()
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 3 and spatial:
+            nd = NamedSharding(mesh, P(*(("les", None, "y", "x")[: x.ndim])))
+        elif getattr(x, "ndim", 0) >= 1:
+            nd = NamedSharding(mesh, P("les"))
+        else:
+            return x
+        return jax.device_put(x, nd)
+
+    return jax.tree.map(put, state)
+
+
+def replicate(tree, mesh):
+    """Replicate a pytree across the mesh (GCM state on every device)."""
+    nd = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, nd), tree)

@@ -1,0 +1,505 @@
+"""Run loop: initialize / run / step / finalize (splib equivalent).
+
+Orchestrates the coupled system the way /root/reference/splib/splib.py does
+(read_config, initialize, run, step, run_spinup, finalize — splib.py:97-432)
+but with no RPC: the GCM phases, the batched coupling math, and the LES
+fleet evolve are jitted device calls; the host loop only moves small
+profile arrays and writes spifs.nc.
+
+Per coupled step (reference call stack SURVEY.md section 3.2):
+  phase A + cloud scheme -> gather SP columns -> convert + forcings
+  (vmapped) -> [variability nudge] -> LES fleet evolve -> slab profiles ->
+  GCM tendencies (remap + scatter) -> phase B -> timing.txt line.
+"""
+
+import dataclasses
+import datetime
+import logging
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as c
+from ..config import SPConfig, read_config
+from ..utils import geometry
+from ..coupling import convert, nudge
+from ..models import dummy as dummy_mod
+from ..models.les import grid as lgrid, step as lstep, model as les_model
+from ..models.les.state import LESForcing
+from ..io import spifs
+
+log = logging.getLogger(__name__)
+
+QT_MODES = {"sp": lstep.QT_FORCING_GLOBAL,
+            "variance": lstep.QT_FORCING_VARIANCE,
+            "local": lstep.QT_FORCING_LOCAL,
+            "strong": lstep.QT_FORCING_STRONG}
+
+
+def create_gcm(cfg: SPConfig):
+    if cfg.gcm_type in ("sptpu", "oifs"):
+        from ..models.gcm import model as gcm_model
+        gcfg = gcm_model.GCMConfig(trunc=cfg.gcm_truncation,
+                                   nlev=cfg.gcm_levels, dt=cfg.gcm_dt,
+                                   start_date=cfg.gcm_start_date)
+        return gcm_model.GCMModel(gcfg, seed=cfg.seed)
+    if cfg.gcm_type == "dummy":
+        return dummy_mod.DummyGCM()
+    if cfg.gcm_type in ("ncfile", "spifsnc_gcm"):
+        from ..models import ncreplay
+        return ncreplay.ReplayGCM(os.path.join(cfg.gcm_input_dir, "spifs.nc"))
+    raise ValueError("unknown gcm_type " + cfg.gcm_type)
+
+
+def create_fleet(cfg: SPConfig, n_les):
+    if cfg.les_type in ("sptpu", "dales"):
+        grid = lgrid.LESGrid.from_config(cfg)
+        phys = lstep.LESPhysics(
+            scheme=cfg.les_advection,
+            qt_forcing=QT_MODES[cfg.qt_forcing])
+        dt = cfg.les_dt if cfg.les_dt > 0 else 5.0
+        return les_model.LESFleet(grid, phys, n_les, dt, seed=cfg.seed)
+    if cfg.les_type == "dummy":
+        return dummy_mod.DummyLESFleet(n_les)
+    if cfg.les_type in ("ncfile", "spifsnc_les"):
+        from ..models import ncreplay
+        return ncreplay.ReplayLESFleet(
+            os.path.join(cfg.les_input_dir, "spifs.nc"), n_les)
+    raise ValueError("unknown les_type " + cfg.les_type)
+
+
+class SPRunner:
+    """One coupled superparameterized run."""
+
+    def __init__(self, config=None, geometries=(), output_geometries=()):
+        self.cfg = config if isinstance(config, SPConfig) else read_config(
+            config)
+        self.geometries = list(geometries)
+        self.output_geometries = list(output_geometries)
+        self.writer = None
+        self.gcm = None
+        self.fleet = None
+        self.instances = []
+        self.sp_cols = []
+        self.output_cols = []
+        self.prev_profiles = None
+        self.rain_last = None
+        self.firststep = True
+        self.timing_file = None
+        self._timing_header_done = False
+        self._les_zf = None
+        self._les_zh = None
+
+    # ------------------------------------------------------------------ init
+
+    def initialize(self):
+        cfg = self.cfg
+        if not cfg.restart and os.path.exists(cfg.output_dir):
+            raise RuntimeError("output dir %s exists" % cfg.output_dir)
+        os.makedirs(cfg.output_dir, exist_ok=True)
+
+        self.gcm = create_gcm(cfg)
+        self.gcm.initialize_code()
+        self.gcm.commit_parameters()
+        self.gcm.commit_grid()
+        self.gcm.set_vdf_in_sp_mask(not cfg.cplsurf)
+
+        lons = np.asarray(self.gcm.longitudes, float)
+        lats = np.asarray(self.gcm.latitudes, float)
+        points = list(zip(lons, lats))
+        self.sp_cols = [int(i) for i in geometry.get_mask_indices(
+            points, self.geometries, cfg.max_num_les)]
+        out_idx = geometry.get_mask_indices(points, self.output_geometries)
+        self.output_cols = sorted(set(out_idx) - set(self.sp_cols))
+        log.info("SP columns: %s", self.sp_cols)
+
+        if cfg.dryrun:
+            np.savetxt(os.path.join(cfg.output_dir, "gridpoints.txt"),
+                       np.column_stack((lons, lats)), fmt="%10.6f")
+            return self
+
+        n = len(self.sp_cols)
+        self.fleet = create_fleet(cfg, max(n, 1))
+        self.instances = []
+        if isinstance(self.fleet, les_model.LESFleet):
+            for k, col in enumerate(self.sp_cols):
+                inst = les_model.LESInstance(self.fleet, k)
+                inst.grid_index = col
+                inst.lat, inst.lon = lats[col], lons[col]
+                self.instances.append(inst)
+        for col in self.sp_cols:
+            self.gcm.set_mask(col)
+        self.gcm.set_vdf_in_sp_mask(not cfg.cplsurf)
+        self._les_zf = jnp.asarray(self.fleet.get_zf(), jnp.float32)
+        nz = self.fleet.get_ktot()
+        self._les_zh_full = jnp.asarray(
+            np.concatenate([[0.0], np.asarray(self.fleet.get_zh())]),
+            jnp.float32)
+
+        start = self.gcm.get_start_datetime() - datetime.timedelta(
+            seconds=cfg.les_spinup)
+        les_info = None
+        if n > 0:
+            dx, dy = self.fleet.get_dx(), self.fleet.get_dy()
+            les_info = {
+                "x": (np.arange(self.fleet.get_itot()) + 0.5) * dx,
+                "y": (np.arange(self.fleet.get_jtot()) + 0.5) * dy,
+                "zf": np.asarray(self.fleet.get_zf()),
+            }
+        self.writer = spifs.SpifsWriter(
+            cfg.output_path, self.gcm.get_ktot(), les_info, start,
+            append=cfg.restart, with_surf_vars=cfg.cplsurf)
+        if not cfg.restart:
+            for inst_i, col in enumerate(self.sp_cols):
+                self.writer.add_les_column(col, lats[col], lons[col])
+            for col in self.output_cols:
+                self.writer.add_output_column(col, lats[col], lons[col])
+
+        self.rain_last = np.zeros(max(n, 1))
+
+        if not cfg.restart:
+            # first half step so U,V,T are initialized (splib.py:183-189)
+            self.gcm.evolve_model_until_cloud_scheme()
+            self.gcm.evolve_model_cloud_scheme()
+            self._half_step_done = True
+            spinup_dt = cfg.les_spinup / max(cfg.les_spinup_steps, 1)
+            self.writer.update_time(spinup_dt if cfg.les_spinup > 0
+                                    else self.gcm.get_timestep())
+
+            if cfg.init_les_state and n > 0:
+                conv = self._gather_convert(write=True)
+                self.fleet.init_states(
+                    u=np.asarray(conv.u), v=np.asarray(conv.v),
+                    thl=np.asarray(conv.thl), qt=np.asarray(conv.qt),
+                    ps=np.asarray(conv.ps),
+                    start_time=-cfg.les_spinup)
+                if cfg.les_spinup > 0:
+                    self.run_spinup(cfg.les_spinup, cfg.les_spinup_steps)
+        else:
+            self._half_step_done = False
+            from ..io import restart as restart_io
+            restart_io.load(self)
+        return self
+
+    # ------------------------------------------------------- coupling pieces
+
+    def _gcm_profiles(self, cols):
+        """dict of [n, L] numpy arrays for the given columns."""
+        out = {}
+        for var in ("U", "V", "T", "SH", "QL", "QI", "Pfull", "Phalf",
+                    "A", "Zgfull", "Zghalf"):
+            out[var] = np.asarray(self.gcm.get_profile_fields(var, cols))
+        return out
+
+    def _gather_convert(self, write):
+        """gather_gcm_data + convert_profiles for all SP columns (batched)."""
+        prof = self._gcm_profiles(self.sp_cols)
+        self._last_gcm_prof = prof
+        conv = jax.vmap(lambda p: convert.convert_profiles(p, self._les_zf))(
+            {k: jnp.asarray(v, jnp.float32) for k, v in prof.items()})
+        self._last_conv = conv
+        if write and self.writer is not None:
+            for i, col in enumerate(self.sp_cols):
+                self.writer.write_column(
+                    col,
+                    U=prof["U"][i], V=prof["V"][i], T=prof["T"][i],
+                    SH=prof["SH"][i], QL=prof["QL"][i], QI=prof["QI"][i],
+                    Pf=prof["Pfull"][i], Ph=prof["Phalf"][i][1:],
+                    Zf=np.asarray(conv.Zf[i]), Zh=np.asarray(conv.Zh[i])[1:],
+                    Psurf=prof["Phalf"][i][-1], Tv=np.asarray(conv.Tv[i]),
+                    THL=np.asarray(conv.THL[i]), QT=np.asarray(conv.QT[i]))
+            self._write_output_columns()
+        if self.cfg.cplsurf:
+            surf = {v: np.asarray(self.gcm.get_surface_field(
+                v, self.sp_cols)) for v in ("Z0M", "Z0H", "QLflux", "QIflux",
+                                            "SHflux", "TLflux", "TSflux")}
+            self._last_surf = surf
+        return conv
+
+    def _write_output_columns(self):
+        if not self.output_cols:
+            return
+        prof = self._gcm_profiles(self.output_cols)
+        conv = jax.vmap(lambda p: convert.convert_profiles(p, self._les_zf))(
+            {k: jnp.asarray(v, jnp.float32) for k, v in prof.items()})
+        for i, col in enumerate(self.output_cols):
+            self.writer.write_column(
+                col,
+                U=prof["U"][i], V=prof["V"][i], T=prof["T"][i],
+                SH=prof["SH"][i], QL=prof["QL"][i], QI=prof["QI"][i],
+                Pf=prof["Pfull"][i], Ph=prof["Phalf"][i][1:],
+                Zf=np.asarray(conv.Zf[i]), Zh=np.asarray(conv.Zh[i])[1:],
+                Psurf=prof["Phalf"][i][-1], Tv=np.asarray(conv.Tv[i]),
+                THL=np.asarray(conv.THL[i]), QT=np.asarray(conv.QT[i]),
+                A=prof["A"][i])
+
+    def _les_profiles(self):
+        prof = self.fleet.get_profiles()
+        return jax.tree.map(np.asarray, prof)
+
+    def _build_forcings(self, conv, les_prof, dt, factor, write):
+        """Batched LESForcing + rain bookkeeping + spifs writes."""
+        n = len(self.sp_cols)
+        f = jax.vmap(lambda cv, lp: convert.les_forcings(
+            cv, lp, dt, factor))(
+                conv, {k: jnp.asarray(les_prof[k]) for k in
+                       ("U", "V", "THL", "QT", "QL", "PS")})
+        rain = np.asarray(les_prof["Rain"])
+        rainrate = (rain - self.rain_last) / dt
+        self.rain_last = rain.copy()
+
+        if self.cfg.cplsurf:
+            surf = self._last_surf
+            z0m, z0h, wthl, wqt = convert.convert_surface_fluxes(
+                {k: jnp.asarray(v) for k, v in surf.items()},
+                jnp.asarray(self._last_gcm_prof["Phalf"][:, -1]),
+                jnp.asarray(self._last_gcm_prof["T"][:, -1]))
+        else:
+            z0m = jnp.full(n, 0.1)
+            z0h = jnp.full(n, 0.02)
+            wthl = jnp.zeros(n)
+            wqt = jnp.zeros(n)
+
+        forcing = LESForcing(
+            f_u=f["f_u"], f_v=f["f_v"], f_thl=f["f_thl"], f_qt=f["f_qt"],
+            f_ql=f["f_ql"], f_ps=f["f_ps"], ql_ref=conv.ql,
+            wthl=wthl, wqt=wqt, z0m=z0m, z0h=z0h)
+
+        if write:
+            for i, col in enumerate(self.sp_cols):
+                self.writer.write_column(
+                    col, f_u=np.asarray(f["f_u"][i]),
+                    f_v=np.asarray(f["f_v"][i]),
+                    f_thl=np.asarray(f["f_thl"][i]),
+                    f_qt=np.asarray(f["f_qt"][i]),
+                    rain=rain[i], rainrate=rainrate[i] * 3600.0)
+                if self.cfg.cplsurf:
+                    self.writer.write_column(
+                        col, z0m=float(z0m[i]), z0h=float(z0h[i]),
+                        wthl=float(wthl[i]), wqt=float(wqt[i]),
+                        TLflux=self._last_surf["TLflux"][i],
+                        TSflux=self._last_surf["TSflux"][i],
+                        SHflux=self._last_surf["SHflux"][i],
+                        QLflux=self._last_surf["QLflux"][i],
+                        QIflux=self._last_surf["QIflux"][i])
+        return forcing
+
+    def _variability_nudge(self, conv, dt, write):
+        """Coupler-side qt variance nudge (qt_forcing=variance)."""
+        if self.fleet.time <= 0:
+            return
+        fields = self.fleet.get_fields()
+        prof = self.fleet.get_profiles()
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1),
+                                 int(self.fleet.time))
+        keys = jax.random.split(key, len(self.sp_cols))
+        res = jax.vmap(
+            lambda qt, thl, qs, qlr, p, k: nudge.variability_nudge(
+                qt, thl, qs, qlr, p, k, dt,
+                constant_T=self.cfg.variability_nudge_constant_T))(
+            jnp.asarray(fields["QT"]), jnp.asarray(fields["THL"]),
+            jnp.asarray(fields["Qsat"]), conv.ql,
+            jnp.asarray(prof["presf"]), keys)
+        self.fleet.set_qt_thl(res.qt, res.thl)
+        if write:
+            for i, col in enumerate(self.sp_cols):
+                self.writer.write_column(
+                    col, qt_alpha=np.asarray(res.alpha[i]),
+                    qt_beta=np.asarray(res.beta[i]),
+                    qt_std=np.asarray(res.qt_std[i]))
+
+    def _set_gcm_tendencies(self, conv, les_prof, dt, write):
+        prof = self._last_gcm_prof
+        A_d = np.asarray(self.fleet.cloud_fractions(np.asarray(conv.Zh)))
+        jprof = {k: jnp.asarray(v, jnp.float32) for k, v in prof.items()}
+        jles = {k: jnp.asarray(les_prof[k]) for k in
+                ("U", "V", "THL", "QT", "QL", "QL_ice", "T", "Rhobf")}
+        tend, diag = jax.vmap(
+            lambda p, cv, lp, ad: convert.gcm_tendencies(
+                p, cv, lp, ad, self._les_zf, self._les_zh_full, dt,
+                factor=self.cfg.gcm_forcing_factor,
+                conservative=self.cfg.conservative_coarsening))(
+            jprof, conv, jles, jnp.asarray(A_d))
+
+        if hasattr(self.gcm, "core"):  # native GCM: batched scatter
+            cols = jnp.asarray(np.asarray(self.sp_cols, np.int32))
+            self.gcm.state = self.gcm.core.with_sp_tendencies(
+                self.gcm.state, cols, tend)
+        else:
+            for i, col in enumerate(self.sp_cols):
+                for var in ("U", "V", "T", "SH", "QL", "QI", "A"):
+                    self.gcm.set_profile_tendency(
+                        var, col, np.asarray(tend[var][i]))
+
+        if write:
+            for i, col in enumerate(self.sp_cols):
+                self.writer.write_column(
+                    col,
+                    u=les_prof["U"][i], v=les_prof["V"][i],
+                    presf=les_prof["presf"][i], rhof=les_prof["Rhof"][i],
+                    rhobf=les_prof["Rhobf"][i], qt=les_prof["QT"][i],
+                    ql=les_prof["QL"][i], ql_ice=les_prof["QL_ice"][i],
+                    ql_water=les_prof["QL_water"][i],
+                    thl=les_prof["THL"][i], qr=les_prof["QR"][i],
+                    t=np.asarray(diag["t"][i]), t_=les_prof["T"][i],
+                    f_U=np.asarray(tend["U"][i]),
+                    f_V=np.asarray(tend["V"][i]),
+                    f_T=np.asarray(tend["T"][i]),
+                    f_SH=np.asarray(tend["SH"][i]),
+                    f_QL=np.asarray(tend["QL"][i]),
+                    f_QI=np.asarray(tend["QI"][i]),
+                    f_A=np.asarray(tend["A"][i]),
+                    A=prof["A"][i], A_d=A_d[i],
+                    Psurf=prof["Phalf"][i][-1])
+
+    # -------------------------------------------------------------- stepping
+
+    def _open_timing(self):
+        if self.timing_file is None:
+            self.timing_file = open(
+                os.path.join(self.cfg.output_dir, "timing.txt"), "a")
+            if not self.cfg.restart and not self._timing_header_done:
+                self.timing_file.write(
+                    "# LES grid points\n"
+                    + " ".join(str(cix) for cix in self.sp_cols)
+                    + "\n# timing data\n")
+                self._timing_header_done = True
+
+    def step(self):
+        cfg = self.cfg
+        self._open_timing()
+        writecdf = not (cfg.restart and self.firststep)
+        t = self.gcm.get_model_time()
+        dt = self.gcm.get_timestep()
+
+        start = time.time()
+        tw1 = -time.time()
+        if writecdf and not self.firststep:
+            self.writer.update_time(t + cfg.les_spinup + dt)
+        if getattr(self, "_half_step_done", False):
+            self._half_step_done = False
+        else:
+            self.gcm.evolve_model_until_cloud_scheme()
+            self.gcm.evolve_model_cloud_scheme()
+        tw1 += time.time()
+
+        if not self.sp_cols:
+            # no superparameterized columns: GCM-only step + output columns
+            if writecdf:
+                self._write_output_columns()
+            self.gcm.evolve_model_from_cloud_scheme()
+            self.timing_file.write("%10.2f %6.2f\n" % (start,
+                                                       time.time() - start))
+            self.timing_file.flush()
+            self.writer.sync()
+            self.firststep = False
+            return
+
+        tw_gather = -time.time()
+        conv = self._gather_convert(write=writecdf)
+        tw_gather += time.time()
+
+        tw_forc = -time.time()
+        if self.firststep or self.prev_profiles is None:
+            les_prof = self._les_profiles()
+        else:
+            les_prof = self.prev_profiles
+        forcing = self._build_forcings(conv, les_prof, dt,
+                                       cfg.les_forcing_factor, writecdf)
+        if cfg.qt_forcing == "variance" and isinstance(
+                self.fleet, les_model.LESFleet):
+            self._variability_nudge(conv, dt, writecdf)
+        tw_forc += time.time()
+
+        tw_les = -time.time()
+        self.fleet.evolve_to(t + dt, forcing)
+        for inst in self.instances:
+            inst.invalidate_cache()
+        profiles = self._les_profiles()
+        self.prev_profiles = profiles
+        tw_les += time.time()
+
+        tw_tend = -time.time()
+        self._set_gcm_tendencies(conv, profiles, dt, writecdf)
+        tw_tend += time.time()
+
+        tw2 = -time.time()
+        self.gcm.evolve_model_from_cloud_scheme()
+        tw2 += time.time()
+
+        n = max(len(self.sp_cols), 1)
+        line = ("%10.2f %6.2f %6.2f %6.2f %6.2f %6.2f " % (
+            start, tw1, tw_gather, tw_forc, tw_tend, tw2)
+            + " ".join("%6.2f" % (tw_les / n) for _ in self.sp_cols) + "\n")
+        self.timing_file.write(line)
+        self.timing_file.flush()
+        if not self.sp_cols:
+            self.writer.sync()
+        else:
+            self.writer.sync()
+        self.firststep = False
+
+    def run(self, nsteps):
+        for s in range(nsteps):
+            self.step()
+            log.info("---- time step %d done ----", s)
+
+    # ---------------------------------------------------------------- spinup
+
+    def run_spinup(self, spinup_length, spinup_steps=1):
+        """Nudge the LES fleet toward the (frozen) GCM state before t=0
+        (splib.py:233-249, 355-401)."""
+        self._open_timing()
+        iter_len = spinup_length / spinup_steps
+        for s in range(spinup_steps):
+            if s == spinup_steps - 1:
+                iter_len = spinup_length - (spinup_steps - 1) * iter_len
+            if not self.firststep:
+                self.writer.update_time(self.fleet.time + iter_len
+                                        + self.cfg.les_spinup)
+            conv = self._last_conv
+            les_prof = (self._les_profiles() if self.firststep
+                        else self.prev_profiles)
+            forcing = self._build_forcings(
+                conv, les_prof, iter_len,
+                self.cfg.les_spinup_forcing_factor, True)
+            self.fleet.evolve_to(self.fleet.time + iter_len, forcing)
+            profiles = self._les_profiles()
+            self.prev_profiles = profiles
+            for i, col in enumerate(self.sp_cols):
+                self.writer.write_column(
+                    col, u=profiles["U"][i], v=profiles["V"][i],
+                    presf=profiles["presf"][i], qt=profiles["QT"][i],
+                    ql=profiles["QL"][i], ql_ice=profiles["QL_ice"][i],
+                    ql_water=profiles["QL_water"][i],
+                    thl=profiles["THL"][i], t_=profiles["T"][i],
+                    qr=profiles["QR"][i])
+            self.firststep = False
+        log.info("---- spinup done ----")
+
+    # -------------------------------------------------------------- shutdown
+
+    def finalize(self, save_restart=True):
+        if save_restart and self.fleet is not None:
+            from ..io import restart as restart_io
+            try:
+                restart_io.save(self)
+            except Exception as e:  # never lose the nc file over a restart
+                log.error("restart save failed: %s", e)
+        for m in [self.gcm, self.fleet]:
+            if m is None:
+                continue
+            try:
+                m.cleanup_code()
+                m.stop()
+            except Exception as e:
+                log.error("exception while stopping model: %s", e)
+        if self.writer is not None:
+            self.writer.close()
+        if self.timing_file is not None:
+            self.timing_file.close()
+            self.timing_file = None
+        log.info("sp_coupler_tpu cleanup done")

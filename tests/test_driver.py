@@ -1,0 +1,150 @@
+"""End-to-end orchestration tests with dummy backends (splib_test
+equivalent, /root/reference/splib/test/splib_test.py) plus spifs.nc IO."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sp_coupler_tpu.config import SPConfig
+from sp_coupler_tpu.utils import geometry
+from sp_coupler_tpu.runtime.driver import SPRunner
+from sp_coupler_tpu.io import spifs, h5nc
+
+
+def dummy_cfg(tmp_path, **kw):
+    base = dict(gcm_type="dummy", les_type="dummy",
+                output_dir=str(tmp_path / "out"))
+    base.update(kw)
+    return SPConfig(**base)
+
+
+class TestH5NC:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "t.nc")
+        ds = h5nc.Dataset(path, "w")
+        ds.createDimension("z", 5)
+        ds.createDimension("Time", None)
+        v = ds.createVariable("T", "f4", ("Time", "z"))
+        v.units = "K"
+        v[0] = np.arange(5.0)
+        v[1] = np.arange(5.0) * 2
+        g = ds.createGroup("12")
+        gv = g.createVariable("x", "f4", ("Time",))
+        gv[0] = 3.5
+        ds.close()
+        r = h5nc.Dataset(path, "r")
+        assert r.dimensions["z"] == 5
+        np.testing.assert_allclose(r.variables["T"][1], np.arange(5.0) * 2)
+        assert r.variables["T"].units == b"K" or r.variables["T"].units == "K"
+        assert float(r.groups["12"].variables["x"][0]) == 3.5
+        r.close()
+
+    def test_append_mode(self, tmp_path):
+        path = str(tmp_path / "t.nc")
+        ds = h5nc.Dataset(path, "w")
+        ds.createDimension("Time", None)
+        v = ds.createVariable("Time", "f4", ("Time",))
+        v[0] = 1.0
+        ds.close()
+        ds2 = h5nc.Dataset(path, "a")
+        tv = ds2.variables["Time"]
+        tv[1] = 2.0
+        ds2.close()
+        r = h5nc.Dataset(path, "r")
+        np.testing.assert_allclose(r.variables["Time"][:], [1.0, 2.0])
+        r.close()
+
+
+class TestDummyLoop:
+    def test_initialize_run_finalize(self, tmp_path):
+        cfg = dummy_cfg(tmp_path)
+        # two point geometries -> two SP columns (dummy grid 40x20)
+        geoms = [geometry.Point((45.0, 10.0)), geometry.Point((90.0, -30.0))]
+        r = SPRunner(cfg, geoms)
+        r.initialize()
+        assert len(r.sp_cols) == 2
+        r.run(5)
+        r.finalize()
+        # verify output structure
+        ds = spifs.open_reader(cfg.output_path)
+        assert len(ds.variables["Time"][:]) == 5
+        for col in r.sp_cols:
+            g = ds.groups[str(col)]
+            T = np.asarray(g.variables["T"][:])
+            assert T.shape == (5, 20)
+            assert np.all(np.isfinite(T[1:]))
+            thl = np.asarray(g.variables["thl"][:])
+            assert thl.shape[1] == 20  # dummy LES has 20 levels
+            fU = np.asarray(g.variables["f_U"][:])
+            assert fU.shape == (5, 20)
+        ds.close()
+        # timing file exists with header + 5 lines
+        lines = open(os.path.join(cfg.output_dir, "timing.txt")).readlines()
+        assert lines[0].startswith("# LES grid points")
+        assert len([ln for ln in lines if not ln.startswith("#")]) == 5 + 1
+
+    def test_output_columns(self, tmp_path):
+        cfg = dummy_cfg(tmp_path)
+        geoms = [geometry.Point((45.0, 10.0))]
+        out_geoms = [geometry.Point((200.0, 40.0))]
+        r = SPRunner(cfg, geoms, out_geoms)
+        r.initialize()
+        assert len(r.output_cols) == 1
+        r.run(2)
+        r.finalize()
+        ds = spifs.open_reader(cfg.output_path)
+        g = ds.groups[str(r.output_cols[0])]
+        assert "T" in g.variables
+        assert "thl" not in g.variables  # output-only columns have no LES vars
+        assert np.isfinite(np.asarray(g.variables["T"][1])).all()
+        ds.close()
+
+    def test_existing_output_dir_rejected(self, tmp_path):
+        cfg = dummy_cfg(tmp_path)
+        os.makedirs(cfg.output_dir)
+        r = SPRunner(cfg, [geometry.Point((45.0, 10.0))])
+        with pytest.raises(RuntimeError):
+            r.initialize()
+
+    def test_dryrun(self, tmp_path):
+        cfg = dummy_cfg(tmp_path, dryrun=True)
+        r = SPRunner(cfg, [geometry.Point((45.0, 10.0))])
+        r.initialize()
+        pts = np.loadtxt(os.path.join(cfg.output_dir, "gridpoints.txt"))
+        assert pts.shape == (800, 2)  # 40 x 20 dummy grid
+
+    def test_no_sp_columns(self, tmp_path):
+        cfg = dummy_cfg(tmp_path)
+        r = SPRunner(cfg, [])
+        r.initialize()
+        r.run(2)
+        r.finalize()
+
+
+class TestNativeSmallLoop:
+    """Small native GCM + native LES coupled loop: the real end-to-end path."""
+
+    def test_two_steps(self, tmp_path):
+        cfg = SPConfig(gcm_type="sptpu", les_type="sptpu",
+                       gcm_truncation=10, gcm_levels=8, gcm_dt=600.0,
+                       les_itot=16, les_jtot=16, les_ktot=24,
+                       les_xsize=3200.0, les_ysize=3200.0, les_dz=100.0,
+                       les_dt=5.0,
+                       output_dir=str(tmp_path / "out"))
+        r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        assert len(r.sp_cols) == 1
+        r.run(2)
+        r.finalize()
+        ds = spifs.open_reader(cfg.output_path)
+        g = ds.groups[str(r.sp_cols[0])]
+        thl = np.asarray(g.variables["thl"][:])
+        assert thl.shape == (2, 24)
+        assert np.all(np.isfinite(thl))
+        assert np.all(thl > 200.0) and np.all(thl < 400.0)
+        fT = np.asarray(g.variables["f_T"][:])
+        assert np.all(np.isfinite(fT))
+        rain = np.asarray(g.variables["rain"][:])
+        assert np.all(rain >= 0.0)
+        ds.close()
