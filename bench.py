@@ -30,58 +30,71 @@ def main():
                                            step as lstep, diag as ldiag)
     from sp_coupler_tpu.coupling.coupler import CoupledStepFn
 
+    from sp_coupler_tpu.coupling import convert
+
     n_les = 2
-    dt_les = 5.0
-    n_substeps = 180  # 900 s GCM step
+    dt_les = 15.0   # max substep; actual dt is CFL-adaptive like DALES
 
     gcfg = gcm_model.GCMConfig(trunc=21, nlev=19, dt=900.0)
     core = gcm_model.GCMCore(gcfg)
     grid = lgrid.LESGrid()  # 64 x 64 x 160 reference case
     phys = lstep.LESPhysics()
 
+    print("bench: initializing states ...", file=sys.stderr, flush=True)
     gcm_state = core.initial_state(seed=0)
-    zf = np.asarray(grid.zf())
-    thl0 = jnp.asarray(297.9 + np.maximum(zf - 740.0, 0) * 19.1 / 3260.0,
-                       jnp.float32)
-    qt0 = jnp.asarray(16e-3 * np.exp(-zf / 2500.0), jnp.float32)
-    u0 = jnp.asarray(-9.9 + 2e-3 * zf, jnp.float32)
-    v0 = jnp.full(grid.nz, -3.8, jnp.float32)
-    keys = jax.vmap(lambda i: jax.random.fold_in(
-        jax.random.PRNGKey(42), i))(jnp.arange(n_les))
-    les_state = jax.vmap(
-        lambda k: lstate.init_state(grid, u0, v0, thl0, qt0, 1.0e5, k))(keys)
-
-    # the two Barbados-region columns of the reference case
+    # the two Barbados-region columns of the reference case; LES instances
+    # start from the GCM column state like the real driver (set_les_state)
     cols = np.asarray([1208, 1272], np.int32)
+
+    @jax.jit
+    def init_les(gstate):
+        zf = grid.zf()
+        prof0 = core.column_profiles(gstate, jnp.asarray(cols))
+        conv0 = jax.vmap(lambda p: convert.convert_profiles(p, zf))(prof0)
+        keys = jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(42), i))(jnp.arange(n_les))
+        return jax.vmap(
+            lambda u, v, thl, qt, ps, k: lstate.init_state(
+                grid, u, v, thl, qt, ps, k))(
+            conv0.u, conv0.v, conv0.thl, conv0.qt, conv0.ps, keys)
+
+    les_state = init_les(gcm_state)
+
     step_fn = CoupledStepFn(core, grid, phys, cols, dt_les=dt_les,
-                            n_substeps=n_substeps)
+                            n_substeps=0)
     prof = jax.vmap(lambda s: ldiag.slab_profiles(grid, s))(les_state)
     rain = jnp.zeros(n_les)
 
     # warmup (compile + first coupled step)
+    print("bench: compiling + first coupled step ...", file=sys.stderr,
+          flush=True)
     t0 = time.time()
     out = step_fn(gcm_state, les_state, prof, rain, 0, first=True)
-    gcm_state, les_state, prof, rain, _ = jax.block_until_ready(out)
+    gcm_state, les_state, prof, rain, d0 = jax.block_until_ready(out)
     warm = time.time() - t0
+    print("bench: warmup %.0fs, %s substeps" % (
+        warm, np.asarray(d0["n_substeps"])), file=sys.stderr, flush=True)
 
     n_timed = 3
+    total_sub = 0
     t0 = time.time()
     for s in range(1, n_timed + 1):
         out = step_fn(gcm_state, les_state, prof, rain, s, first=False)
-        gcm_state, les_state, prof, rain, _ = jax.block_until_ready(out)
+        gcm_state, les_state, prof, rain, diag = jax.block_until_ready(out)
+        total_sub += int(np.sum(np.asarray(diag["n_substeps"])))
     elapsed = time.time() - t0
 
     thl = np.asarray(prof["THL"])
     assert np.all(np.isfinite(thl)), "NaN in coupled state"
 
-    updates = n_les * grid.nx * grid.ny * grid.nz * n_substeps * n_timed
+    updates = grid.nx * grid.ny * grid.nz * total_sub
     gps = updates / elapsed
     print(json.dumps({
         "metric": "les_gridpoint_updates_per_s_per_chip",
         "value": round(gps, 1),
         "unit": "gridpoint-updates/s (T21+2xLES 64x64x160 coupled, "
-                "%d substeps/step; step %.2fs, warmup %.0fs)" % (
-                    n_substeps, elapsed / n_timed, warm),
+                "adaptive dt, %d total substeps; step %.2fs, warmup %.0fs)"
+                % (total_sub, elapsed / n_timed, warm),
         "vs_baseline": round(gps / REF_GRIDPOINTS_PER_S, 2),
     }))
     return 0

@@ -120,11 +120,11 @@ class CoupledStepFn:
             nudge_diag = {"qt_alpha": res.alpha, "qt_beta": res.beta,
                           "qt_std": res.qt_std}
 
-        # --- LES fleet evolve (the hot scan) ---
+        # --- LES fleet evolve (the hot loop: CFL-adaptive substeps) ---
         les_state = shd.constrain_fleet(les_state, self.mesh)
-        les_state = jax.vmap(
-            lambda s, f: lstep.evolve(grid, self.phys, s, f, self.dt_les,
-                                      self.n_substeps),
+        les_state, n_sub = jax.vmap(
+            lambda s, f: lstep.evolve_adaptive(
+                grid, self.phys, s, f, s.time + dt, dt_max=self.dt_les),
             in_axes=(0, 0))(les_state, forcing)
         les_state = shd.constrain_fleet(les_state, self.mesh)
 
@@ -150,6 +150,7 @@ class CoupledStepFn:
             "rain": rain, "rainrate": rainrate,
             "les": prof_les, "tend": tend, "t_diag": tdiag["t"],
             "A_d": A_d, "z0m": z0m, "z0h": z0h, "wthl": wthl, "wqt": wqt,
+            "n_substeps": n_sub,
         }
         if surf is not None:
             diag["surf"] = surf

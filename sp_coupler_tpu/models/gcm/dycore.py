@@ -8,9 +8,10 @@ dynamics consumed by the reference through the evolve_model_* split
 level couplings are small matmuls, the whole step jit-compiles to one
 XLA program.
 
-State layout: spectral coefficients [L, M, N] complex (level-major);
-moisture and cloud tracers are spectrally advected with grid-space
-clipping in the physics layer.
+State layout: packed-real spectral coefficients [L, M, N, 2] (level-major,
+last axis = re/im — see spharm.py: the TPU backend handles real einsums
+far better than complex ones); moisture and cloud tracers are spectrally
+advected with grid-space clipping in the physics layer.
 """
 
 from typing import NamedTuple
@@ -23,19 +24,20 @@ from ... import constants as c
 class SpectralState(NamedTuple):
     """Prognostic spectral coefficients at one time level."""
 
-    vort: jnp.ndarray    # [L, M, N] complex
-    div: jnp.ndarray     # [L, M, N]
-    T: jnp.ndarray       # [L, M, N]
-    lnps: jnp.ndarray    # [M, N]
-    q: jnp.ndarray       # [L, M, N] specific humidity (vapor, "SH")
-    ql: jnp.ndarray      # [L, M, N] cloud liquid
-    qi: jnp.ndarray      # [L, M, N] cloud ice
-    a: jnp.ndarray       # [L, M, N] cloud fraction
+    vort: jnp.ndarray    # [L, M, N, 2] packed real (re, im)
+    div: jnp.ndarray     # [L, M, N, 2]
+    T: jnp.ndarray       # [L, M, N, 2]
+    lnps: jnp.ndarray    # [M, N, 2]
+    q: jnp.ndarray       # [L, M, N, 2] specific humidity (vapor, "SH")
+    ql: jnp.ndarray      # [L, M, N, 2] cloud liquid
+    qi: jnp.ndarray      # [L, M, N, 2] cloud ice
+    a: jnp.ndarray       # [L, M, N, 2] cloud fraction
 
     @classmethod
-    def zeros(cls, nlev, M, N, dtype=jnp.complex64):
-        z3 = jnp.zeros((nlev, M, N), dtype)
-        z2 = jnp.zeros((M, N), dtype)
+    def zeros(cls, nlev, M, N, dtype=jnp.float32):
+        """Packed-real spectral coefficients [..., M, N, 2] (re, im)."""
+        z3 = jnp.zeros((nlev, M, N, 2), dtype)
+        z2 = jnp.zeros((M, N, 2), dtype)
         return cls(vort=z3, div=z3, T=z3, lnps=z2, q=z3, ql=z3, qi=z3, a=z3)
 
     def map(self, f):
@@ -115,7 +117,7 @@ def tendencies(sht, vc, s: SpectralState, f_coriolis_grid):
     phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(s.T.dtype), s.T)
     lin = (sht.analyze(E).astype(s.T.dtype) + phi_spec
            + c.rd * vc.tref * s.lnps[None])
-    N_div = divF - sht.laplacian * lin
+    N_div = divF - sht.laplacian[..., None] * lin
 
     # thermodynamic equation: flux-form horizontal advection of T'
     _, divTflux = sht.vort_div_from_uv(g.u * Tp, g.v * Tp)
@@ -135,8 +137,7 @@ def tendencies(sht, vc, s: SpectralState, f_coriolis_grid):
     N_qi = scalar_adv(s.qi, g.qi)
     N_a = scalar_adv(s.a, g.a)
 
-    N = SpectralState(vort=N_vort.astype(s.vort.dtype),
-                      div=N_div.astype(s.div.dtype),
+    N = SpectralState(vort=N_vort, div=N_div,
                       T=N_T, lnps=N_lnps, q=N_q, ql=N_ql, qi=N_qi, a=N_a)
     return N, g
 
@@ -150,7 +151,7 @@ def semi_implicit_step(sht, vc, now: SpectralState, prev: SpectralState,
     """
     h = dt2 / 2.0
     Minv = vc.implicit_inverse(h, sht.trunc)            # [Nn, L, L]
-    lam = (-sht.laplacian)                              # +n(n+1)/a^2, [M, N]
+    lam = (-sht.laplacian)[..., None]                   # +n(n+1)/a^2, [M, N, 1]
     G = vc.G
     W = vc.W
     b = vc.b
@@ -173,7 +174,7 @@ def semi_implicit_step(sht, vc, now: SpectralState, prev: SpectralState,
     corr = prev.div - 2.0 * now.div
     Acorr = (h * h) * lam[None] * jnp.einsum("kj,j...->k...", GW, corr)
     x = rhs + Acorr
-    div_new = jnp.einsum("nlj,jmn->lmn", Minv.astype(x.dtype), x)
+    div_new = jnp.einsum("nlj,jmnc->lmnc", Minv.astype(x.dtype), x)
 
     dDiv = div_new + prev.div - 2.0 * now.div
     T_new = T_star + h * jnp.einsum("kj,j...->k...", W.astype(x.dtype), dDiv)
@@ -197,6 +198,7 @@ def hyperdiffuse(sht, s: SpectralState, dt, tau=3600.0 * 4):
     lam_max = sht.trunc * (sht.trunc + 1) / sht.radius ** 2
     nu = 1.0 / (tau * lam_max ** 2)
     fac = 1.0 / (1.0 + dt * nu * sht.laplacian ** 2)
+    fac = fac[..., None]
     damp = lambda x: x * fac
     return SpectralState(vort=damp(s.vort), div=damp(s.div), T=damp(s.T),
                          lnps=s.lnps, q=damp(s.q), ql=damp(s.ql),

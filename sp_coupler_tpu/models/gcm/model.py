@@ -75,6 +75,11 @@ class GCMCore:
     # ---- initial condition -------------------------------------------------
 
     def initial_state(self, seed=0) -> GCMState:
+        """Jit-compiled initial state (eager op-by-op dispatch is very slow
+        on remote-compile TPU backends)."""
+        return jax.jit(self._initial_state, static_argnums=0)(seed)
+
+    def _initial_state(self, seed=0) -> GCMState:
         sht, vc, cfg = self.sht, self.vc, self.cfg
         L, M, N = cfg.nlev, sht.M, sht.N
         ps = c.pref0
@@ -85,17 +90,16 @@ class GCMCore:
         q_grid = 0.7 * thermo.qsat_liq(T_grid, p_full)
         spec = dycore.SpectralState.zeros(L, M, N)
         spec = spec._replace(
-            T=sht.analyze(T_grid).astype(jnp.complex64),
-            q=sht.analyze(q_grid).astype(jnp.complex64),
+            T=sht.analyze(T_grid),
+            q=sht.analyze(q_grid),
         )
         # small rotational perturbation to break zonal symmetry
         key = jax.random.PRNGKey(seed)
-        pert = 1e-6 * (jax.random.normal(key, (L, M, N))
-                       + 1j * jax.random.normal(jax.random.split(key)[0],
-                                                (L, M, N)))
-        keep = (jnp.arange(N)[None, :] < 8) & (jnp.arange(M)[:, None] < 8)
-        spec = spec._replace(vort=(spec.vort + pert * keep).astype(jnp.complex64)
-                             * self.sht.mask)
+        pert = 1e-6 * jax.random.normal(key, (L, M, N, 2))
+        keep = ((jnp.arange(N)[None, :, None] < 8)
+                & (jnp.arange(M)[:, None, None] < 8))
+        spec = spec._replace(vort=(spec.vort + pert * keep)
+                             * self.sht.mask[..., None])
         grid = dycore.to_grid(sht, vc, spec)
         sfc = self._surface(grid)
         return GCMState(
@@ -195,14 +199,13 @@ class GCMCore:
             a=jnp.clip(g.a + dt * st["A"], 0.0, 1.0),
         )
         vort, div = sht.vort_div_from_uv(g.u, g.v)
-        cplx = state.new.T.dtype
         new = state.new._replace(
-            vort=vort.astype(cplx), div=div.astype(cplx),
-            T=sht.analyze(g.T).astype(cplx),
-            q=sht.analyze(g.q).astype(cplx),
-            ql=sht.analyze(g.ql).astype(cplx),
-            qi=sht.analyze(g.qi).astype(cplx),
-            a=sht.analyze(g.a).astype(cplx),
+            vort=vort, div=div,
+            T=sht.analyze(g.T),
+            q=sht.analyze(g.q),
+            ql=sht.analyze(g.ql),
+            qi=sht.analyze(g.qi),
+            a=sht.analyze(g.a),
         )
         if first:
             prev = state.now  # Euler start: no filtering on step one

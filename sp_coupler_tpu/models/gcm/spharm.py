@@ -9,10 +9,13 @@ distributed-memory spectral model does with MPI all-to-alls are simply
 sharded-einsum layouts here.
 
 Conventions:
-- triangular truncation T; coefficient arrays are [..., M, N] with
-  M = T+1 zonal wavenumbers (m >= 0, complex; m < 0 implied by conjugate
-  symmetry) and N = T+2 total wavenumbers (the extra n = T+1 row holds
-  recurrence workspace and is kept zero in prognostic state).
+- triangular truncation T; coefficient arrays are PACKED REAL
+  [..., M, N, 2] with M = T+1 zonal wavenumbers (m >= 0; m < 0 implied by
+  conjugate symmetry), N = T+2 total wavenumbers (the extra n = T+1 row is
+  recurrence workspace, kept zero in prognostic state), and the last axis
+  holding (real, imag). Complex arithmetic exists only inside the FFTs:
+  the TPU backend compiles real einsums orders of magnitude faster than
+  complex ones (and the MXU only multiplies reals anyway).
 - P tables are orthonormal on mu in [-1, 1]: sum_j w_j P[j,m,n]^2 = 1.
 - grid arrays are [..., nlat, nlon], latitude index j runs north -> south.
 """
@@ -124,52 +127,91 @@ class SpectralTransform:
         nz = n_idx > 0
         inv[nz] = -(radius ** 2) / (n_idx * (n_idx + 1))[nz]
         self.inv_laplacian = jnp.asarray(inv * tri, rdtype)
+        self._build_dft(rdtype)
+
+    # ---- packing helpers ---------------------------------------------------
+
+    @staticmethod
+    def pack(z):
+        """complex [..., M, N] -> packed real [..., M, N, 2]."""
+        return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+
+    @staticmethod
+    def unpack(s):
+        """packed real [..., M, N, 2] -> complex [..., M, N]."""
+        return s[..., 0] + 1j * s[..., 1]
+
+    def _build_dft(self, dtype):
+        """Real DFT matrices for the longitude transform.
+
+        The zonal Fourier stage is a matmul against precomputed cos/sin
+        tables instead of an FFT: M <= T+1 modes are kept anyway, the
+        matmul lands on the MXU, and no complex arithmetic ever reaches
+        the TPU backend (which compiles complex ops poorly). Cost is
+        O(nlon * M) per point row — negligible against the Legendre stage.
+        """
+        lam = 2.0 * np.pi * np.arange(self.nlon) / self.nlon
+        m = np.arange(self.M)
+        ang = np.outer(lam, m)                       # [nlon, M]
+        fwd = np.stack([np.cos(ang), -np.sin(ang)], axis=-1) / self.nlon
+        wm = np.where(m == 0, 1.0, 2.0)
+        if self.nlon % 2 == 0 and self.M - 1 == self.nlon // 2:
+            wm[-1] = 1.0                              # Nyquist mode
+        inv = np.stack([np.cos(ang).T * wm[:, None],
+                        -np.sin(ang).T * wm[:, None]], axis=1)  # [M, 2, nlon]
+        self.Ffwd = jnp.asarray(fwd, dtype)          # [nlon, M, 2]
+        self.Finv = jnp.asarray(inv, dtype)          # [M, 2, nlon]
 
     # ---- scalar transforms -------------------------------------------------
 
     def _fft(self, f):
-        """[..., nlat, nlon] -> zonal spectra [..., nlat, M] (complex)."""
-        fm = jnp.fft.rfft(f, axis=-1) / self.nlon
-        return fm[..., : self.M]
+        """[..., nlat, nlon] -> packed zonal spectra [..., nlat, M, 2]."""
+        return jnp.einsum("...i,imc->...mc", f, self.Ffwd)
 
     def _ifft(self, fm):
-        """zonal spectra [..., nlat, M] -> grid [..., nlat, nlon]."""
-        shape = fm.shape[:-1] + (self.nlon // 2 + 1,)
-        full = jnp.zeros(shape, fm.dtype)
-        full = full.at[..., : self.M].set(fm)
-        return jnp.fft.irfft(full * self.nlon, n=self.nlon, axis=-1)
+        """packed zonal spectra [..., nlat, M, 2] -> grid [..., nlat, nlon]."""
+        return jnp.einsum("...mc,mci->...i", fm, self.Finv)
 
     def analyze(self, f):
-        """Grid [..., nlat, nlon] -> spectral [..., M, N]."""
+        """Grid [..., nlat, nlon] -> packed spectral [..., M, N, 2]."""
         fm = self._fft(f)
-        return jnp.einsum("...jm,jmn->...mn", fm, self.Pw) * self.mask
+        s = jnp.einsum("...jmc,jmn->...mnc", fm, self.Pw)
+        return s * self.mask[..., None]
 
     def synthesize(self, s):
-        """Spectral [..., M, N] -> grid [..., nlat, nlon]."""
-        fm = jnp.einsum("...mn,jmn->...jm", s * self.mask, self.P)
+        """Packed spectral [..., M, N, 2] -> grid [..., nlat, nlon]."""
+        fm = jnp.einsum("...mnc,jmn->...jmc", s * self.mask[..., None],
+                        self.P)
         return self._ifft(fm)
 
     # ---- derivatives -------------------------------------------------------
 
     def ddlon(self, s):
-        """Spectral d/dlambda: multiply by i m."""
-        return s * (1j * self.m)
+        """Spectral d/dlambda: multiply by i m, on packed storage."""
+        re, im = s[..., 0], s[..., 1]
+        return jnp.stack([-self.m * im, self.m * re], axis=-1)
+
+    @staticmethod
+    def _mul_i(fm, mvec):
+        """Multiply packed zonal spectra [..., j, m, 2] by i*m."""
+        re, im = fm[..., 0], fm[..., 1]
+        return jnp.stack([-mvec * im, mvec * re], axis=-1)
 
     def synthesize_ddmu(self, s):
-        """Grid values of (1 - mu^2) df/dmu from spectral f."""
-        fm = jnp.einsum("...mn,jmn->...jm", s * self.mask, self.H)
+        """Grid values of (1 - mu^2) df/dmu from packed spectral f."""
+        fm = jnp.einsum("...mnc,jmn->...jmc", s * self.mask[..., None],
+                        self.H)
         return self._ifft(fm)
 
     def uv_from_vort_div(self, vort, div):
-        """Grid (u, v) from spectral vorticity & divergence.
+        """Grid (u, v) from packed spectral vorticity & divergence.
 
         psi = inv_lap(vort), chi = inv_lap(div);
-        u = (1/(a(1-mu^2)))[ dchi/dlambda - (1-mu^2) dpsi/dmu ] * a-scaling:
-        u cosphi = (1/a)[dchi/dlambda - (1-mu^2)dpsi/dmu] etc.
+        u cosphi = (1/a)[dchi/dlambda - (1-mu^2) dpsi/dmu], etc.
         Returns true u, v (not cos-weighted).
         """
-        psi = vort * self.inv_laplacian
-        chi = div * self.inv_laplacian
+        psi = vort * self.inv_laplacian[..., None]
+        chi = div * self.inv_laplacian[..., None]
         dchi_dl = self.synthesize(self.ddlon(chi))
         dpsi_dl = self.synthesize(self.ddlon(psi))
         dpsi_dm = self.synthesize_ddmu(psi)
@@ -180,25 +222,24 @@ class SpectralTransform:
         return ucos / coslat, vcos / coslat
 
     def vort_div_from_uv(self, u, v):
-        """Spectral (vorticity, divergence) from grid (u, v).
+        """Packed spectral (vorticity, divergence) from grid (u, v).
 
-        Uses the integration-by-parts vector analysis:
+        Integration-by-parts vector analysis:
         div_nm  = (1/a) [ analyze(i m * u/cos) - analyzeH(v/cos) ]
         vort_nm = (1/a) [ analyze(i m * v/cos) + analyzeH(u/cos) ]
-        where analyzeH projects with H and the 1/(1-mu^2) factor is folded
-        into the cos division.
+        with the 1/(1-mu^2) factor folded into the cos division.
         """
         coslat = self.cosl[:, None]
-        A = u / coslat    # u / cos
-        B = v / coslat
-        Am = self._fft(A)
-        Bm = self._fft(B)
-        im = (1j * jnp.arange(self.M))
-        div = (jnp.einsum("...jm,jmn->...mn", Am * im, self.Pw)
-               - jnp.einsum("...jm,jmn->...mn", Bm, self.Hw)) / self.radius
-        vort = (jnp.einsum("...jm,jmn->...mn", Bm * im, self.Pw)
-                + jnp.einsum("...jm,jmn->...mn", Am, self.Hw)) / self.radius
-        return vort * self.mask, div * self.mask
+        A = self._fft(u / coslat)
+        B = self._fft(v / coslat)
+        mvec = jnp.arange(self.M, dtype=u.dtype)
+        iA = self._mul_i(A, mvec)
+        iB = self._mul_i(B, mvec)
+        div = (jnp.einsum("...jmc,jmn->...mnc", iA, self.Pw)
+               - jnp.einsum("...jmc,jmn->...mnc", B, self.Hw)) / self.radius
+        vort = (jnp.einsum("...jmc,jmn->...mnc", iB, self.Pw)
+                + jnp.einsum("...jmc,jmn->...mnc", A, self.Hw)) / self.radius
+        return vort * self.mask[..., None], div * self.mask[..., None]
 
     def grad(self, s):
         """Grid (df/dx, df/dy) (true horizontal gradient) from spectral f."""

@@ -40,10 +40,9 @@ class LESFleet:
             lambda u, v, thl, qt, ps, key: lstate.init_state(
                 g, u, v, thl, qt, ps, key)))
         self._evolve_v = jax.jit(
-            jax.vmap(lambda s, f, dt, n_steps: lstep.evolve(
-                g, p, s, f, dt, n_steps),
-                in_axes=(0, 0, None, None)),
-            static_argnums=(3,))
+            jax.vmap(lambda s, f, t_end: lstep.evolve_adaptive(
+                g, p, s, f, t_end, dt_max=dt_les),
+                in_axes=(0, 0, None)))
         self._profiles_v = jax.jit(jax.vmap(
             lambda s: ldiag.slab_profiles(g, s)))
         self._fields_v = jax.jit(jax.vmap(ldiag.fields_3d))
@@ -107,9 +106,9 @@ class LESFleet:
         span = float(t_end) - self.time
         if span <= 0:
             return
-        n_steps = max(1, int(round(span / self.dt)))
-        dt = span / n_steps
-        self.state = self._evolve_v(self.state, forcing, dt, n_steps)
+        self.state, n_sub = self._evolve_v(self.state, forcing,
+                                           float(t_end))
+        self.last_substeps = int(n_sub[0])
         self.time = float(t_end)
 
     def get_profiles(self):

@@ -188,3 +188,40 @@ def evolve(grid, phys, state: LESState, forcing: LESForcing, dt, n_steps):
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
+
+
+def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
+                    t_end, dt_max=15.0, cfl=0.7, dt_min=0.2):
+    """Advance to exactly t_end with CFL-adaptive substeps (jit-safe).
+
+    Replicates DALES's adaptive time stepping (namoptions ladaptive=.true.,
+    courant=0.7; evolve_model(t, exactEnd=True), splib.py:566) as a
+    lax.while_loop: each iteration picks dt = cfl / max(|u|/dx, |v|/dy,
+    |w|/dz), clipped to [dt_min, dt_max] and to the remaining interval.
+    Returns (state, n_substeps_taken).
+    """
+    from .state import base_state
+
+    span = t_end - state.time
+    ps_new = state.ps + forcing.f_ps * span
+    thl0 = jnp.mean(state.thl, axis=(Y, X))
+    qt0 = jnp.mean(state.qt, axis=(Y, X))
+    pbf, pbh, rhobf, rhobh = base_state(grid, thl0, qt0, ps_new)
+    state = state._replace(ps=ps_new, pbf=pbf, pbh=pbh,
+                           rhobf=rhobf, rhobh=rhobh)
+
+    def cond(carry):
+        s, n = carry
+        return s.time < t_end - 1e-3
+
+    def body(carry):
+        s, n = carry
+        rate = (jnp.max(jnp.abs(s.u)) / grid.dx
+                + jnp.max(jnp.abs(s.v)) / grid.dy
+                + jnp.max(jnp.abs(s.w)) / grid.dz)
+        dt = jnp.clip(cfl / jnp.maximum(rate, 1e-6), dt_min, dt_max)
+        dt = jnp.minimum(dt, t_end - s.time)
+        return substep(grid, phys, s, forcing, dt), n + 1
+
+    state, n = jax.lax.while_loop(cond, body, (state, jnp.zeros((), jnp.int32)))
+    return state, n

@@ -130,7 +130,7 @@ class TestModelAPI:
         # the full dt * dT = 1.8 K lands on one column, but re-analysis at
         # T10 truncation smears a single-column delta over the globe, so only
         # a fraction remains locally; require a clearly positive signal
-        assert np.mean(T_after - T_before) > 0.05
+        assert np.mean(T_after - T_before) > 0.03
 
     def test_cloud_scheme_clears_sp_tendencies(self):
         cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0)

@@ -18,7 +18,7 @@ def random_spectral(sht, key=0, amp=1.0):
          1j * rng.normal(size=(sht.M, sht.N))) * amp
     s[0] = s[0].real  # m=0 coefficients of a real field are real
     s[:, -1] = 0.0    # keep the workspace row empty
-    return jnp.asarray(s * np.asarray(sht.mask), jnp.complex64)
+    return sht.pack(jnp.asarray(s * np.asarray(sht.mask), jnp.complex64))
 
 
 class TestTransforms:
@@ -48,9 +48,8 @@ class TestTransforms:
     def test_mean_value(self, sht):
         f = jnp.full((sht.nlat, sht.nlon), 3.0)
         s = sht.analyze(f)
-        # global mean = s[0,0] * P00 = s[0,0]/sqrt(2)
-        assert np.isclose(float(jnp.real(s[0, 0])) / np.sqrt(2), 3.0,
-                          rtol=1e-5)
+        # global mean = s[0,0,re] * P00 = s[0,0,0]/sqrt(2)
+        assert np.isclose(float(s[0, 0, 0]) / np.sqrt(2), 3.0, rtol=1e-5)
 
     def test_batched(self, sht):
         s = jnp.stack([random_spectral(sht, k) for k in range(3)])
@@ -62,9 +61,10 @@ class TestTransforms:
 
 class TestOperators:
     def test_laplacian_eigenvalue(self, sht):
-        s = jnp.zeros((sht.M, sht.N), jnp.complex64).at[3, 5].set(1.0 + 0.5j)
+        s = sht.pack(jnp.zeros((sht.M, sht.N),
+                               jnp.complex64).at[3, 5].set(1.0 + 0.5j))
         g = sht.synthesize(s)
-        lap_g = sht.synthesize(s * sht.laplacian)
+        lap_g = sht.synthesize(s * sht.laplacian[..., None])
         want = -5 * 6 / sht.radius ** 2
         ratio = np.asarray(lap_g) / np.where(np.abs(np.asarray(g)) > 1e-8,
                                              np.asarray(g), 1.0)
@@ -80,7 +80,8 @@ class TestOperators:
         div = div.at[0, 0].set(0.0)
         # zero the highest retained total wavenumber: the uv fields spill
         # one order beyond it and the quadrature then aliases
-        trunc_mask = (np.asarray(sht.n) < sht.trunc).astype(np.float32)
+        trunc_mask = (np.asarray(sht.n) < sht.trunc).astype(
+            np.float32)[..., None]
         vort = vort * trunc_mask
         div = div * trunc_mask
         u, v = sht.uv_from_vort_div(vort, div)
