@@ -47,12 +47,17 @@ class CoupledStepFn:
         self.seed = seed
         self.zf = les_grid.zf()
         self.zh_full = les_grid.zh()
-        self._jit = jax.jit(self._step, static_argnames=("first",))
+        self._jit = jax.jit(self._step,
+                            static_argnames=("first", "skip_half"))
 
     def __call__(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
-                 first=False):
+                 first=False, skip_half=False):
+        """skip_half: the GCM first half (phase A + cloud scheme) was already
+        run host-side (the driver's initialization does it before seeding
+        the LES states, mirroring splib.py:183-189)."""
         return self._jit(gcm_state, les_state, prev_prof, rain_last,
-                         jnp.asarray(step_idx, jnp.int32), first=first)
+                         jnp.asarray(step_idx, jnp.int32), first=first,
+                         skip_half=skip_half)
 
     # ------------------------------------------------------------------
 
@@ -61,13 +66,14 @@ class CoupledStepFn:
             les_state)
 
     def _step(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
-              first):
+              first, skip_half=False):
         core, grid = self.core, self.grid
         dt = core.cfg.dt
 
         # --- GCM first half (phase A + cloud scheme) ---
-        gcm_state = core.phase_a(gcm_state, first)
-        gcm_state = core.phase_cloud(gcm_state)
+        if not skip_half:
+            gcm_state = core.phase_a(gcm_state, first)
+            gcm_state = core.phase_cloud(gcm_state)
 
         # --- gather + convert SP columns ---
         prof = core.column_profiles(gcm_state, self.cols)      # [n, L]

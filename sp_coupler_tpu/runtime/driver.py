@@ -160,6 +160,25 @@ class SPRunner:
 
         self.rain_last = np.zeros(max(n, 1))
 
+        # fused fast path: native GCM + native LES -> one jitted program per
+        # coupled step (coupling/coupler.py); the host only writes spifs.nc
+        self.coupled = None
+        if (hasattr(self.gcm, "core")
+                and isinstance(self.fleet, les_model.LESFleet) and n > 0):
+            from ..coupling.coupler import CoupledStepFn
+            dt_max = cfg.les_dt if cfg.les_dt > 0 else 15.0
+            self.coupled = CoupledStepFn(
+                self.gcm.core, self.fleet.grid, self.fleet.phys,
+                np.asarray(self.sp_cols, np.int32), dt_les=dt_max,
+                n_substeps=0,
+                les_forcing_factor=cfg.les_forcing_factor,
+                gcm_forcing_factor=cfg.gcm_forcing_factor,
+                conservative=cfg.conservative_coarsening,
+                cplsurf=cfg.cplsurf,
+                qt_variance=(cfg.qt_forcing == "variance"),
+                constant_T=cfg.variability_nudge_constant_T,
+                seed=cfg.seed)
+
         if not cfg.restart:
             # first half step so U,V,T are initialized (splib.py:183-189)
             self.gcm.evolve_model_until_cloud_scheme()
@@ -368,9 +387,99 @@ class SPRunner:
                     + "\n# timing data\n")
                 self._timing_header_done = True
 
+    def _write_fused_diag(self, diag):
+        """Write one fused-step diagnostics bundle to spifs.nc."""
+        import jax as _jax
+        d = _jax.tree.map(np.asarray, diag)
+        gcm, conv, les, tend, f = (d["gcm"], d["conv"], d["les"], d["tend"],
+                                   d["forcing"])
+        for i, col in enumerate(self.sp_cols):
+            out = dict(
+                U=gcm["U"][i], V=gcm["V"][i], T=gcm["T"][i],
+                SH=gcm["SH"][i], QL=gcm["QL"][i], QI=gcm["QI"][i],
+                Pf=gcm["Pfull"][i], Ph=gcm["Phalf"][i][1:],
+                Zf=conv.Zf[i], Zh=conv.Zh[i][1:],
+                Psurf=gcm["Phalf"][i][-1], Tv=conv.Tv[i],
+                THL=conv.THL[i], QT=conv.QT[i],
+                f_u=f["f_u"][i], f_v=f["f_v"][i], f_thl=f["f_thl"][i],
+                f_qt=f["f_qt"][i],
+                rain=d["rain"][i], rainrate=d["rainrate"][i] * 3600.0,
+                u=les["U"][i], v=les["V"][i], presf=les["presf"][i],
+                rhof=les["Rhof"][i], rhobf=les["Rhobf"][i],
+                qt=les["QT"][i], ql=les["QL"][i], ql_ice=les["QL_ice"][i],
+                ql_water=les["QL_water"][i], thl=les["THL"][i],
+                qr=les["QR"][i], t=d["t_diag"][i], t_=les["T"][i],
+                f_U=tend["U"][i], f_V=tend["V"][i], f_T=tend["T"][i],
+                f_SH=tend["SH"][i], f_QL=tend["QL"][i],
+                f_QI=tend["QI"][i], f_A=tend["A"][i],
+                A=gcm["A"][i], A_d=d["A_d"][i],
+            )
+            if "qt_alpha" in d:
+                out.update(qt_alpha=d["qt_alpha"][i],
+                           qt_beta=d["qt_beta"][i], qt_std=d["qt_std"][i])
+            if self.cfg.cplsurf and "surf" in d:
+                out.update(z0m=d["z0m"][i], z0h=d["z0h"][i],
+                           wthl=d["wthl"][i], wqt=d["wqt"][i],
+                           TLflux=d["surf"]["TLflux"][i],
+                           TSflux=d["surf"]["TSflux"][i],
+                           SHflux=d["surf"]["SHflux"][i],
+                           QLflux=d["surf"]["QLflux"][i],
+                           QIflux=d["surf"]["QIflux"][i])
+            self.writer.write_column(col, **out)
+        self.rain_last = np.asarray(d["rain"])
+
+    def _step_fused(self):
+        """One coupled step through the fused jitted program."""
+        cfg = self.cfg
+        writecdf = not (cfg.restart and self.firststep)
+        t = self.gcm.get_model_time()
+        dt = self.gcm.get_timestep()
+        start = time.time()
+        if writecdf and not self.firststep:
+            self.writer.update_time(t + cfg.les_spinup + dt)
+        skip = bool(getattr(self, "_half_step_done", False))
+        self._half_step_done = False
+        prev_prof = getattr(self, "_fused_prof", None)
+        if prev_prof is None:
+            prev_prof = self.fleet.get_profiles()
+        # `first` follows the GCM's Euler-start bookkeeping (not the
+        # coupling firststep flag: after a spinup the GCM is still on its
+        # first leapfrog step while profiles already exist)
+        out = self.coupled(self.gcm.state, self.fleet.state, prev_prof,
+                           jnp.asarray(self.rain_last, jnp.float32),
+                           self.gcm.step_count, first=self.gcm._first,
+                           skip_half=skip)
+        gcm_state, les_state, prof, rain, diag = out
+        self.gcm.state = gcm_state
+        self.gcm.step_count += 1
+        self.gcm._first = False
+        self.fleet.state = les_state
+        self.fleet.time = float(t + dt)
+        self._fused_prof = prof
+        step_wall = time.time() - start
+        io_wall = -time.time()
+        if writecdf:
+            self._write_fused_diag(diag)
+            self._write_output_columns()
+        self.prev_profiles = None  # host copies are stale; refetch if needed
+        for inst in self.instances:
+            inst.invalidate_cache()
+        self.writer.sync()
+        io_wall += time.time()
+        n = max(len(self.sp_cols), 1)
+        line = ("%10.2f %6.2f %6.2f %6.2f %6.2f %6.2f " % (
+            start, 0.0, 0.0, 0.0, io_wall, 0.0)
+            + " ".join("%6.2f" % (step_wall / n) for _ in self.sp_cols)
+            + "\n")
+        self.timing_file.write(line)
+        self.timing_file.flush()
+        self.firststep = False
+
     def step(self):
         cfg = self.cfg
         self._open_timing()
+        if self.coupled is not None:
+            return self._step_fused()
         writecdf = not (cfg.restart and self.firststep)
         t = self.gcm.get_model_time()
         dt = self.gcm.get_timestep()

@@ -148,3 +148,61 @@ class TestNativeSmallLoop:
         rain = np.asarray(g.variables["rain"][:])
         assert np.all(rain >= 0.0)
         ds.close()
+
+
+class TestFusedPath:
+    def _cfg(self, tmp_path, **kw):
+        from sp_coupler_tpu.config import SPConfig
+        base = dict(gcm_type="sptpu", les_type="sptpu",
+                    gcm_truncation=10, gcm_levels=8, gcm_dt=600.0,
+                    les_itot=16, les_jtot=16, les_ktot=24,
+                    les_xsize=3200.0, les_ysize=3200.0, les_dz=100.0,
+                    les_dt=5.0, output_dir=str(tmp_path / "out"))
+        base.update(kw)
+        return SPConfig(**base)
+
+    def test_fused_path_active(self, tmp_path):
+        r = SPRunner(self._cfg(tmp_path), [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        assert r.coupled is not None  # native-native uses the fused program
+        r.run(2)
+        r.finalize()
+        ds = spifs.open_reader(r.cfg.output_path)
+        g = ds.groups[str(r.sp_cols[0])]
+        for var in ("thl", "f_T", "A_d", "rain", "t", "qr", "Psurf"):
+            arr = np.asarray(g.variables[var][:])
+            assert arr.shape[0] == 2 and np.all(np.isfinite(arr)), var
+        ds.close()
+
+    def test_spinup_then_fused(self, tmp_path):
+        cfg = self._cfg(tmp_path, les_spinup=60.0, les_spinup_steps=2)
+        r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        r.run(2)
+        r.finalize()
+        ds = spifs.open_reader(cfg.output_path)
+        # 2 spinup records + 2 coupled records
+        assert len(ds.variables["Time"][:]) == 4
+        thl = np.asarray(ds.groups[str(r.sp_cols[0])].variables["thl"][:])
+        assert np.all(np.isfinite(thl))
+        ds.close()
+
+    def test_restart_roundtrip(self, tmp_path):
+        cfg = self._cfg(tmp_path)
+        r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        r.run(2)
+        r.finalize(save_restart=True)
+        t_end = r.gcm.get_model_time()
+        # resume
+        cfg2 = cfg.replace(restart=True)
+        r2 = SPRunner(cfg2, [geometry.Point((300.0, 15.0))])
+        r2.initialize()
+        assert r2.gcm.get_model_time() == t_end
+        r2.run(2)  # one overlap step (not written) + one real step
+        r2.finalize(save_restart=False)
+        ds = spifs.open_reader(cfg.output_path)
+        times = np.asarray(ds.variables["Time"][:])
+        assert len(times) == 3  # 2 original + 1 new (overlap suppressed)
+        assert np.all(np.diff(times) > 0)
+        ds.close()
