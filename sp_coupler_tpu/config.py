@@ -61,7 +61,7 @@ class SPConfig:
     les_nsubsteps: int = 0             # substeps per GCM step; 0 = derive from les_dt/CFL
     les_cfl: float = 0.7               # CFL target when deriving the substep
     les_advection: str = "hybrid52"    # "cd2" | "hybrid52" (5th horiz / 2nd vert)
-    les_subgrid: str = "smagorinsky"
+    les_subgrid: str = "tke"       # "tke" (DALES default) | "smagorinsky"
 
     # --- numerics / hardware ---
     dtype: str = "float32"

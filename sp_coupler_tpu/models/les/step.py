@@ -29,6 +29,7 @@ class LESPhysics(NamedTuple):
     """Static physics configuration (hashable, jit static arg)."""
 
     scheme: str = "hybrid52"
+    subgrid: str = "tke"             # "tke" (DALES default) | "smagorinsky"
     f_coriolis: float = 0.0
     sponge_depth: float = 750.0      # m, nudge-to-mean layer below the lid
     sponge_tau: float = 120.0        # s, strongest relaxation rate at the top
@@ -83,7 +84,15 @@ def tendencies(grid, phys, state, forcing, dt):
     dw = dw.at[1:-1].add(b_face)
 
     # subgrid diffusion + surface fluxes
-    Km, Kh = subgrid.eddy_viscosity(grid, state, thv)
+    if phys.subgrid == "tke":
+        Km, Kh, lam, S2, N2 = subgrid.tke_viscosity(grid, state, thv)
+        de12 = (adv_s(state.e12)
+                + subgrid.diffuse_scalar(grid, rhobf, rhobh, 2.0 * Km,
+                                         state.e12)
+                + subgrid.tke_sources(grid, Km, Kh, lam, S2, N2, state.e12))
+    else:
+        Km, Kh = subgrid.eddy_viscosity(grid, state, thv)
+        de12 = jnp.zeros_like(state.e12)
     tu, tv, tw, ustar = subgrid.diffuse_momentum(grid, rhobf, rhobh, Km,
                                                  state, forcing.z0m)
     du = du + tu
@@ -134,7 +143,7 @@ def tendencies(grid, phys, state, forcing, dt):
                         * grid.dz) - zs) / phys.sponge_depth, 0.0, 1.0)
     dw = dw - (rate_h / phys.sponge_tau)[:, None, None] * state.w
 
-    return dict(u=du, v=dv, w=dw, thl=dthl, qt=dqt, qr=dqr,
+    return dict(u=du, v=dv, w=dw, thl=dthl, qt=dqt, qr=dqr, e12=de12,
                 ustar=ustar, surf_rain=surf_rain)
 
 
@@ -152,6 +161,8 @@ def substep(grid, phys, state: LESState, forcing: LESForcing, dt) -> LESState:
             thl=base.thl + frac * dt * t["thl"],
             qt=jnp.maximum(base.qt + frac * dt * t["qt"], 0.0),
             qr=jnp.maximum(base.qr + frac * dt * t["qr"], 0.0),
+            e12=jnp.maximum(base.e12 + frac * dt * t["e12"],
+                            subgrid.E12_MIN),
             ustar=t["ustar"],
         ), t["surf_rain"]
 

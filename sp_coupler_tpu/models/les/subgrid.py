@@ -45,8 +45,8 @@ def _center_gradients(grid, u, v, w):
     return dudx, dvdy, dwdz, ddy(uc), ddz(uc), ddx(vc), ddz(vc), ddx(wc), ddy(wc)
 
 
-def eddy_viscosity(grid, state, thv):
-    """(Km, Kh) at cell centers, [nz, ny, nx]."""
+def strain_and_stability(grid, state, thv):
+    """(S2, N2) at cell centers: squared deformation and Brunt-Vaisala."""
     dudx, dvdy, dwdz, dudy, dudz, dvdx, dvdz, dwdx, dwdy = _center_gradients(
         grid, state.u, state.v, state.w)
     S2 = (2.0 * (dudx ** 2 + dvdy ** 2 + dwdz ** 2)
@@ -59,6 +59,12 @@ def eddy_viscosity(grid, state, thv):
         (thv_m[-1:] - thv_m[-2:-1]),
     ], axis=Z) / grid.dz
     N2 = c.grav / jnp.maximum(thv_m, 1.0) * dthv
+    return S2, jnp.broadcast_to(N2, S2.shape)
+
+
+def eddy_viscosity(grid, state, thv):
+    """Smagorinsky-Lilly (Km, Kh) at cell centers, [nz, ny, nx]."""
+    S2, N2 = strain_and_stability(grid, state, thv)
     Ri = N2 / jnp.maximum(S2, 1e-12)
     fstab = jnp.sqrt(jnp.clip(1.0 - Ri / RI_C, 0.0, 1.0))
     delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
@@ -68,6 +74,46 @@ def eddy_viscosity(grid, state, thv):
     Km = (CS * lam) ** 2 * jnp.sqrt(S2) * fstab
     Kh = Km / PRANDTL
     return Km, Kh
+
+
+# prognostic-TKE (Deardorff) constants, DALES values
+CM = 0.12
+CH1, CH2 = 1.0, 2.0
+CE1, CE2 = 0.19, 0.51
+CN = 0.76
+E12_MIN = 1e-3  # floor on sqrt(TKE)
+
+
+def tke_viscosity(grid, state, thv):
+    """Deardorff prognostic-TKE closure: (Km, Kh, lam, S2, N2).
+
+    The reference LES runs this scheme (namoptions &NAMSUBGRID
+    lsmagorinsky=.false.): Km = cm * lam * e12, with the mixing length
+    reduced to cn * e12 / N in stable stratification, and
+    Kh = (ch1 + ch2 * lam/delta) * Km.
+    """
+    S2, N2 = strain_and_stability(grid, state, thv)
+    e12 = jnp.maximum(state.e12, E12_MIN)
+    delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
+    lam_stable = CN * e12 / jnp.sqrt(jnp.maximum(N2, 1e-10))
+    lam = jnp.where(N2 > 1e-10, jnp.minimum(delta, lam_stable), delta)
+    Km = CM * lam * e12
+    Kh = (CH1 + CH2 * lam / delta) * Km
+    return Km, Kh, lam, S2, N2
+
+
+def tke_sources(grid, Km, Kh, lam, S2, N2, e12, delta=None):
+    """d(e12)/dt source terms: (shear + buoyancy - dissipation) / (2 e12).
+
+    e = e12^2; de/dt = Km S^2 - Kh N^2 - (ce1 + ce2 lam/delta) e^{3/2}/lam.
+    """
+    if delta is None:
+        delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
+    e12s = jnp.maximum(e12, E12_MIN)
+    shear = Km * S2
+    buoy = -Kh * N2
+    diss = (CE1 + CE2 * lam / delta) * e12s ** 3 / lam
+    return (shear + buoy - diss) / (2.0 * e12s)
 
 
 def diffuse_scalar(grid, rhobf, rhobh, K, s, surf_flux=None):

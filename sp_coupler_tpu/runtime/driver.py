@@ -59,6 +59,7 @@ def create_fleet(cfg: SPConfig, n_les):
         grid = lgrid.LESGrid.from_config(cfg)
         phys = lstep.LESPhysics(
             scheme=cfg.les_advection,
+            subgrid=cfg.les_subgrid,
             qt_forcing=QT_MODES[cfg.qt_forcing])
         dt = cfg.les_dt if cfg.les_dt > 0 else 5.0
         return les_model.LESFleet(grid, phys, n_les, dt, seed=cfg.seed)
