@@ -16,7 +16,10 @@ advected with grid-space clipping in the physics layer.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+_PREC = jax.lax.Precision.HIGHEST
 
 from ... import constants as c
 
@@ -73,7 +76,7 @@ def to_grid(sht, vc, s: SpectralState) -> GridFields:
     dpx, dpy = sht.grad(s.lnps)
     C = div + u * dpx[None] + v * dpy[None]
     omega_p = (u * dpx[None] + v * dpy[None]
-               - jnp.einsum("kj,j...->k...", vc.Pmat, C))
+               - jnp.einsum("kj,j...->k...", vc.Pmat, C, precision=_PREC))
     return GridFields(u=u, v=v, T=T, q=q, ql=ql, qi=qi, a=a, lnps=lnps,
                       omega_p=omega_p, vort=vort, div=div)
 
@@ -114,7 +117,8 @@ def tendencies(sht, vc, s: SpectralState, f_coriolis_grid):
     N_vort, divF = sht.vort_div_from_uv(Fu, Fv)
 
     E = 0.5 * (g.u ** 2 + g.v ** 2)
-    phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(s.T.dtype), s.T)
+    phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(s.T.dtype), s.T,
+                          precision=_PREC)
     lin = (sht.analyze(E).astype(s.T.dtype) + phi_spec
            + c.rd * vc.tref * s.lnps[None])
     N_div = divF - sht.laplacian[..., None] * lin
@@ -165,20 +169,24 @@ def semi_implicit_step(sht, vc, now: SpectralState, prev: SpectralState,
     dPi_expl = 2.0 * (prev.lnps - now.lnps) + dt2 * N.lnps
     rhs = (prev.div + dt2 * N.div
            + h * lam[None] * (jnp.einsum("kj,j...->k...",
-                                         G.astype(now.T.dtype), dT_expl)
+                                         G.astype(now.T.dtype), dT_expl,
+                                         precision=_PREC)
                               + c.rd * Tref * dPi_expl[None]))
     # (I - A) D+ = rhs + A (prev.div - 2 now.div),
     # A = h^2 lam (G W - R Tref 1 b^T)  per spectral mode
     GW = (G @ W - c.rd * Tref * jnp.outer(jnp.ones(vc.nlev), b)).astype(
         now.div.dtype)
     corr = prev.div - 2.0 * now.div
-    Acorr = (h * h) * lam[None] * jnp.einsum("kj,j...->k...", GW, corr)
+    Acorr = (h * h) * lam[None] * jnp.einsum("kj,j...->k...", GW, corr, precision=_PREC)
     x = rhs + Acorr
-    div_new = jnp.einsum("nlj,jmnc->lmnc", Minv.astype(x.dtype), x)
+    div_new = jnp.einsum("nlj,jmnc->lmnc", Minv.astype(x.dtype), x,
+                         precision=_PREC)
 
     dDiv = div_new + prev.div - 2.0 * now.div
-    T_new = T_star + h * jnp.einsum("kj,j...->k...", W.astype(x.dtype), dDiv)
-    pi_new = pi_star - h * jnp.einsum("j,j...->...", b.astype(x.dtype), dDiv)
+    T_new = T_star + h * jnp.einsum("kj,j...->k...", W.astype(x.dtype),
+                                    dDiv, precision=_PREC)
+    pi_new = pi_star - h * jnp.einsum("j,j...->...", b.astype(x.dtype),
+                                      dDiv, precision=_PREC)
 
     new = SpectralState(
         vort=prev.vort + dt2 * N.vort,

@@ -23,7 +23,13 @@ Conventions:
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+# spectral transforms need true f32 accumulation: the TPU MXU's default
+# bf16-input matmul loses ~3 decimal digits, which is visible in balanced
+# dycore states (and wrecks CPU<->TPU parity). HIGHEST = full f32 passes.
+_PREC = jax.lax.Precision.HIGHEST
 
 # Gaussian grids per truncation: quadratic (alias-free) unless noted.
 GRID_FOR_TRUNC = {
@@ -166,22 +172,22 @@ class SpectralTransform:
 
     def _fft(self, f):
         """[..., nlat, nlon] -> packed zonal spectra [..., nlat, M, 2]."""
-        return jnp.einsum("...i,imc->...mc", f, self.Ffwd)
+        return jnp.einsum("...i,imc->...mc", f, self.Ffwd, precision=_PREC)
 
     def _ifft(self, fm):
         """packed zonal spectra [..., nlat, M, 2] -> grid [..., nlat, nlon]."""
-        return jnp.einsum("...mc,mci->...i", fm, self.Finv)
+        return jnp.einsum("...mc,mci->...i", fm, self.Finv, precision=_PREC)
 
     def analyze(self, f):
         """Grid [..., nlat, nlon] -> packed spectral [..., M, N, 2]."""
         fm = self._fft(f)
-        s = jnp.einsum("...jmc,jmn->...mnc", fm, self.Pw)
+        s = jnp.einsum("...jmc,jmn->...mnc", fm, self.Pw, precision=_PREC)
         return s * self.mask[..., None]
 
     def synthesize(self, s):
         """Packed spectral [..., M, N, 2] -> grid [..., nlat, nlon]."""
         fm = jnp.einsum("...mnc,jmn->...jmc", s * self.mask[..., None],
-                        self.P)
+                        self.P, precision=_PREC)
         return self._ifft(fm)
 
     # ---- derivatives -------------------------------------------------------
@@ -200,7 +206,7 @@ class SpectralTransform:
     def synthesize_ddmu(self, s):
         """Grid values of (1 - mu^2) df/dmu from packed spectral f."""
         fm = jnp.einsum("...mnc,jmn->...jmc", s * self.mask[..., None],
-                        self.H)
+                        self.H, precision=_PREC)
         return self._ifft(fm)
 
     def uv_from_vort_div(self, vort, div):
@@ -235,10 +241,14 @@ class SpectralTransform:
         mvec = jnp.arange(self.M, dtype=u.dtype)
         iA = self._mul_i(A, mvec)
         iB = self._mul_i(B, mvec)
-        div = (jnp.einsum("...jmc,jmn->...mnc", iA, self.Pw)
-               - jnp.einsum("...jmc,jmn->...mnc", B, self.Hw)) / self.radius
-        vort = (jnp.einsum("...jmc,jmn->...mnc", iB, self.Pw)
-                + jnp.einsum("...jmc,jmn->...mnc", A, self.Hw)) / self.radius
+        div = (jnp.einsum("...jmc,jmn->...mnc", iA, self.Pw,
+                          precision=_PREC)
+               - jnp.einsum("...jmc,jmn->...mnc", B, self.Hw,
+                            precision=_PREC)) / self.radius
+        vort = (jnp.einsum("...jmc,jmn->...mnc", iB, self.Pw,
+                           precision=_PREC)
+                + jnp.einsum("...jmc,jmn->...mnc", A, self.Hw,
+                             precision=_PREC)) / self.radius
         return vort * self.mask[..., None], div * self.mask[..., None]
 
     def grad(self, s):
