@@ -68,27 +68,32 @@ def tendencies(grid, phys, state, forcing, dt):
     T, ql, qs, thv = thermodynamics(state)
     rhobf, rhobh = state.rhobf, state.rhobh
 
-    adv_s = lambda s: advect.advect_scalar(grid, rhobf, rhobh, state.u,
-                                           state.v, state.w, s, phys.scheme)
+    # all advected scalars in ONE stacked pass: u, v, w are read once and
+    # the shifted-flux graph is shared across the scalar batch
+    scalars = jnp.stack([state.thl, state.qt, state.qr, state.e12])
+    adv_all = jax.vmap(
+        lambda s: advect.advect_scalar(grid, rhobf, rhobh, state.u,
+                                       state.v, state.w, s, phys.scheme))(
+        scalars)
+    dthl, dqt, dqr, de12_adv = adv_all
     du = advect.advect_u(grid, rhobf, rhobh, state.u, state.v, state.w)
     dv = advect.advect_v(grid, rhobf, rhobh, state.u, state.v, state.w)
     dw = advect.advect_w(grid, rhobf, rhobh, state.u, state.v, state.w)
-    dthl = adv_s(state.thl)
-    dqt = adv_s(state.qt)
-    dqr = adv_s(state.qr)
+
+    # one reduction pass for every slab mean needed this stage
+    means = jnp.mean(jnp.stack([thv, state.thl, state.qt]), axis=(Y + 1, X + 1),
+                     keepdims=True)
+    thv_m, thl_m, qt_m = means[0], means[1], means[2]
 
     # buoyancy on interior w faces, relative to the slab mean
-    thv_m = jnp.mean(thv, axis=(Y, X), keepdims=True)
     b_cent = c.grav * (thv - thv_m) / jnp.maximum(thv_m, 1.0)
     b_face = 0.5 * (b_cent[1:] + b_cent[:-1])
     dw = dw.at[1:-1].add(b_face)
 
     # subgrid diffusion + surface fluxes
     if phys.subgrid == "tke":
-        Km, Kh, lam, S2, N2 = subgrid.tke_viscosity(grid, state, thv)
-        de12 = (adv_s(state.e12)
-                + subgrid.diffuse_scalar(grid, rhobf, rhobh, 2.0 * Km,
-                                         state.e12)
+        Km, Kh, lam, S2, N2 = subgrid.tke_viscosity(grid, state, thv, thv_m)
+        de12 = (de12_adv
                 + subgrid.tke_sources(grid, Km, Kh, lam, S2, N2, state.e12))
     else:
         Km, Kh = subgrid.eddy_viscosity(grid, state, thv)
@@ -98,11 +103,20 @@ def tendencies(grid, phys, state, forcing, dt):
     du = du + tu
     dv = dv + tv
     dw = dw + tw
-    dthl = dthl + subgrid.diffuse_scalar(grid, rhobf, rhobh, Kh, state.thl,
-                                         surf_flux=forcing.wthl)
-    dqt = dqt + subgrid.diffuse_scalar(grid, rhobf, rhobh, Kh, state.qt,
-                                       surf_flux=forcing.wqt)
-    dqr = dqr + subgrid.diffuse_scalar(grid, rhobf, rhobh, Kh, state.qr)
+    # stacked diffusion pass (thl, qt, qr share Kh; e12 diffuses with 2 Km)
+    Ks = jnp.stack([Kh, Kh, Kh, 2.0 * Km])
+    zero_sf = jnp.zeros_like(forcing.wthl)
+    sfluxes = jnp.stack([forcing.wthl + zero_sf, forcing.wqt + zero_sf,
+                         zero_sf, zero_sf])
+    diff_all = jax.vmap(
+        lambda K, s, sf: subgrid.diffuse_scalar(grid, rhobf, rhobh, K, s,
+                                                surf_flux=sf))(
+        Ks, scalars, sfluxes)
+    dthl = dthl + diff_all[0]
+    dqt = dqt + diff_all[1]
+    dqr = dqr + diff_all[2]
+    if phys.subgrid == "tke":
+        de12 = de12 + diff_all[3]
 
     # coriolis (off in the reference RICO case, namoptions lcoriol=false)
     if phys.f_coriolis != 0.0:
@@ -133,12 +147,12 @@ def tendencies(grid, phys, state, forcing, dt):
     rate = jnp.clip((zf - zs) / phys.sponge_depth, 0.0, 1.0) / phys.sponge_tau
     rate = rate[:, None, None]
 
-    def nudge(field, tend):
-        mean = jnp.mean(field, axis=(Y, X), keepdims=True)
-        return tend - rate * (field - mean)
-
-    du, dv = nudge(state.u, du), nudge(state.v, dv)
-    dthl, dqt = nudge(state.thl, dthl), nudge(state.qt, dqt)
+    uv_means = jnp.mean(jnp.stack([state.u, state.v]),
+                        axis=(Y + 1, X + 1), keepdims=True)
+    du = du - rate * (state.u - uv_means[0])
+    dv = dv - rate * (state.v - uv_means[1])
+    dthl = dthl - rate * (state.thl - thl_m)
+    dqt = dqt - rate * (state.qt - qt_m)
     rate_h = jnp.clip(((jnp.arange(grid.nz + 1, dtype=state.u.dtype)
                         * grid.dz) - zs) / phys.sponge_depth, 0.0, 1.0)
     dw = dw - (rate_h / phys.sponge_tau)[:, None, None] * state.w
@@ -227,9 +241,11 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
 
     def body(carry):
         s, n = carry
-        rate = (jnp.max(jnp.abs(s.u)) / grid.dx
-                + jnp.max(jnp.abs(s.v)) / grid.dy
-                + jnp.max(jnp.abs(s.w)) / grid.dz)
+        # per-cell Courant number like DALES (max over cells of the summed
+        # directional CFL), not the over-conservative sum of global maxima
+        rate_cell = (jnp.abs(s.u) / grid.dx + jnp.abs(s.v) / grid.dy
+                     + jnp.abs(0.5 * (s.w[1:] + s.w[:-1])) / grid.dz)
+        rate = jnp.max(rate_cell)
         dt = jnp.clip(cfl / jnp.maximum(rate, 1e-6), dt_min, dt_max)
         dt = jnp.minimum(dt, t_end - s.time)
         return substep(grid, phys, s, forcing, dt), n + 1

@@ -45,14 +45,15 @@ def _center_gradients(grid, u, v, w):
     return dudx, dvdy, dwdz, ddy(uc), ddz(uc), ddx(vc), ddz(vc), ddx(wc), ddy(wc)
 
 
-def strain_and_stability(grid, state, thv):
+def strain_and_stability(grid, state, thv, thv_m=None):
     """(S2, N2) at cell centers: squared deformation and Brunt-Vaisala."""
     dudx, dvdy, dwdz, dudy, dudz, dvdx, dvdz, dwdx, dwdy = _center_gradients(
         grid, state.u, state.v, state.w)
     S2 = (2.0 * (dudx ** 2 + dvdy ** 2 + dwdz ** 2)
           + (dudy + dvdx) ** 2 + (dudz + dwdx) ** 2 + (dvdz + dwdy) ** 2)
     # Brunt-Vaisala from the slab-mean thv profile (robust, avoids local noise)
-    thv_m = jnp.mean(thv, axis=(Y, X), keepdims=True)
+    if thv_m is None:
+        thv_m = jnp.mean(thv, axis=(Y, X), keepdims=True)
     dthv = jnp.concatenate([
         (thv_m[1:2] - thv_m[0:1]),
         (thv_m[2:] - thv_m[:-2]) / 2.0,
@@ -84,7 +85,7 @@ CN = 0.76
 E12_MIN = 1e-3  # floor on sqrt(TKE)
 
 
-def tke_viscosity(grid, state, thv):
+def tke_viscosity(grid, state, thv, thv_m=None):
     """Deardorff prognostic-TKE closure: (Km, Kh, lam, S2, N2).
 
     The reference LES runs this scheme (namoptions &NAMSUBGRID
@@ -92,7 +93,7 @@ def tke_viscosity(grid, state, thv):
     reduced to cn * e12 / N in stable stratification, and
     Kh = (ch1 + ch2 * lam/delta) * Km.
     """
-    S2, N2 = strain_and_stability(grid, state, thv)
+    S2, N2 = strain_and_stability(grid, state, thv, thv_m)
     e12 = jnp.maximum(state.e12, E12_MIN)
     delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
     lam_stable = CN * e12 / jnp.sqrt(jnp.maximum(N2, 1e-10))
