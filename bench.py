@@ -38,7 +38,7 @@ def main():
     gcfg = gcm_model.GCMConfig(trunc=21, nlev=19, dt=900.0)
     core = gcm_model.GCMCore(gcfg)
     grid = lgrid.LESGrid()  # 64 x 64 x 160 reference case
-    phys = lstep.LESPhysics()
+    phys = lstep.LESPhysics(use_pallas=jax.default_backend() == "tpu")
 
     print("bench: initializing states ...", file=sys.stderr, flush=True)
     gcm_state = core.initial_state(seed=0)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ... import constants as c
 from ...utils import thermo
+from ...ops import lesflat_pallas, lesmom_pallas
 from . import advect, subgrid, poisson, micro
 from .advect import sp, sm, X, Y, Z
 from .state import LESState, LESForcing
@@ -36,6 +37,7 @@ class LESPhysics(NamedTuple):
     qt_forcing: int = QT_FORCING_GLOBAL
     mphys: micro.MicroParams = micro.MicroParams()
     n_sat_iter: int = 2
+    use_pallas: bool = False         # fused scalar-tendency TPU kernel
 
 
 def thermodynamics(state):
@@ -68,55 +70,86 @@ def tendencies(grid, phys, state, forcing, dt):
     T, ql, qs, thv = thermodynamics(state)
     rhobf, rhobh = state.rhobf, state.rhobh
 
-    # all advected scalars in ONE stacked pass: u, v, w are read once and
-    # the shifted-flux graph is shared across the scalar batch
-    scalars = jnp.stack([state.thl, state.qt, state.qr, state.e12])
-    adv_all = jax.vmap(
-        lambda s: advect.advect_scalar(grid, rhobf, rhobh, state.u,
-                                       state.v, state.w, s, phys.scheme))(
-        scalars)
-    dthl, dqt, dqr, de12_adv = adv_all
-    du = advect.advect_u(grid, rhobf, rhobh, state.u, state.v, state.w)
-    dv = advect.advect_v(grid, rhobf, rhobh, state.u, state.v, state.w)
-    dw = advect.advect_w(grid, rhobf, rhobh, state.u, state.v, state.w)
-
     # one reduction pass for every slab mean needed this stage
     means = jnp.mean(jnp.stack([thv, state.thl, state.qt]), axis=(Y + 1, X + 1),
                      keepdims=True)
     thv_m, thl_m, qt_m = means[0], means[1], means[2]
+
+    # eddy viscosities first: the fused kernel consumes them
+    if phys.subgrid == "tke":
+        Km, Kh, lam, S2, N2 = subgrid.tke_viscosity(grid, state, thv, thv_m)
+    else:
+        Km, Kh = subgrid.eddy_viscosity(grid, state, thv)
+
+    # all advected+diffused scalars in ONE stacked pass: u, v, w, K are
+    # read once and the shifted-flux graph is shared across the batch
+    # (thl, qt, qr share Kh; e12 diffuses with 2 Km)
+    scalars = jnp.stack([state.thl, state.qt, state.qr, state.e12])
+    Ks = jnp.stack([Kh, Kh, Kh, 2.0 * Km])
+    if phys.use_pallas and phys.scheme == "hybrid52" \
+            and lesflat_pallas.supported(grid):
+        # fused Pallas kernel (zero-flux BCs built in); prescribed surface
+        # fluxes enter as a single-plane correction: the XLA path's bottom
+        # face term -(0 - rhobh[0]*flux) / (rhobf[0] dz) on plane k=0
+        fused = lesflat_pallas.advect_diffuse_scalars(
+            state.u, state.v, state.w, Ks, scalars, rhobf, rhobh,
+            grid.dx, grid.dy, grid.dz)
+        corr = rhobh[0] / (rhobf[0] * grid.dz)
+        plane = state.thl.shape[1:]
+        dthl = fused[0].at[0].add(
+            corr * jnp.broadcast_to(forcing.wthl, plane))
+        dqt = fused[1].at[0].add(
+            corr * jnp.broadcast_to(forcing.wqt, plane))
+        dqr = fused[2]
+        de12_all = fused[3]
+    else:
+        adv_all = jax.vmap(
+            lambda s: advect.advect_scalar(grid, rhobf, rhobh, state.u,
+                                           state.v, state.w, s,
+                                           phys.scheme))(scalars)
+        zero_sf = jnp.zeros_like(forcing.wthl)
+        sfluxes = jnp.stack([forcing.wthl + zero_sf, forcing.wqt + zero_sf,
+                             zero_sf, zero_sf])
+        diff_all = jax.vmap(
+            lambda K, s, sf: subgrid.diffuse_scalar(grid, rhobf, rhobh, K, s,
+                                                    surf_flux=sf))(
+            Ks, scalars, sfluxes)
+        dthl = adv_all[0] + diff_all[0]
+        dqt = adv_all[1] + diff_all[1]
+        dqr = adv_all[2] + diff_all[2]
+        de12_all = adv_all[3] + diff_all[3]
+
+    # momentum advection + subgrid stress (+ surface drag correction)
+    if phys.use_pallas and lesflat_pallas.supported(grid):
+        ustar, fu, fv = subgrid.surface_momentum_fluxes(grid, state,
+                                                        forcing.z0m)
+        du, dv, dw = lesmom_pallas.momentum_tendencies(
+            state.u, state.v, state.w, Km, rhobf, rhobh,
+            grid.dx, grid.dy, grid.dz)
+        corr = rhobh[0] / (rhobf[0] * grid.dz)
+        du = du.at[0].add(corr * fu)
+        dv = dv.at[0].add(corr * fv)
+    else:
+        du = advect.advect_u(grid, rhobf, rhobh, state.u, state.v, state.w)
+        dv = advect.advect_v(grid, rhobf, rhobh, state.u, state.v, state.w)
+        dw = advect.advect_w(grid, rhobf, rhobh, state.u, state.v, state.w)
+        tu, tv, tw, ustar = subgrid.diffuse_momentum(grid, rhobf, rhobh, Km,
+                                                     state, forcing.z0m)
+        du = du + tu
+        dv = dv + tv
+        dw = dw + tw
 
     # buoyancy on interior w faces, relative to the slab mean
     b_cent = c.grav * (thv - thv_m) / jnp.maximum(thv_m, 1.0)
     b_face = 0.5 * (b_cent[1:] + b_cent[:-1])
     dw = dw.at[1:-1].add(b_face)
 
-    # subgrid diffusion + surface fluxes
+    # TKE sources
     if phys.subgrid == "tke":
-        Km, Kh, lam, S2, N2 = subgrid.tke_viscosity(grid, state, thv, thv_m)
-        de12 = (de12_adv
-                + subgrid.tke_sources(grid, Km, Kh, lam, S2, N2, state.e12))
+        de12 = de12_all + subgrid.tke_sources(grid, Km, Kh, lam, S2, N2,
+                                              state.e12)
     else:
-        Km, Kh = subgrid.eddy_viscosity(grid, state, thv)
         de12 = jnp.zeros_like(state.e12)
-    tu, tv, tw, ustar = subgrid.diffuse_momentum(grid, rhobf, rhobh, Km,
-                                                 state, forcing.z0m)
-    du = du + tu
-    dv = dv + tv
-    dw = dw + tw
-    # stacked diffusion pass (thl, qt, qr share Kh; e12 diffuses with 2 Km)
-    Ks = jnp.stack([Kh, Kh, Kh, 2.0 * Km])
-    zero_sf = jnp.zeros_like(forcing.wthl)
-    sfluxes = jnp.stack([forcing.wthl + zero_sf, forcing.wqt + zero_sf,
-                         zero_sf, zero_sf])
-    diff_all = jax.vmap(
-        lambda K, s, sf: subgrid.diffuse_scalar(grid, rhobf, rhobh, K, s,
-                                                surf_flux=sf))(
-        Ks, scalars, sfluxes)
-    dthl = dthl + diff_all[0]
-    dqt = dqt + diff_all[1]
-    dqr = dqr + diff_all[2]
-    if phys.subgrid == "tke":
-        de12 = de12 + diff_all[3]
 
     # coriolis (off in the reference RICO case, namoptions lcoriol=false)
     if phys.f_coriolis != 0.0:

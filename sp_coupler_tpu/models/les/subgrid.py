@@ -162,6 +162,14 @@ def surface_drag(grid, state, z0m):
     return jnp.sqrt(jnp.mean(ustar2)), flux_u, flux_v
 
 
+def surface_momentum_fluxes(grid, state, z0m):
+    """(ustar, fu, fv): drag-law stress interpolated to the u/v points."""
+    ustar, flux_u_sfc, flux_v_sfc = surface_drag(grid, state, z0m)
+    fu = 0.5 * (sm(flux_u_sfc, X - 1) + flux_u_sfc)   # [ny, nx] at x-faces
+    fv = 0.5 * (sm(flux_v_sfc, Y - 1) + flux_v_sfc)
+    return ustar, fu, fv
+
+
 def diffuse_momentum(grid, rhobf, rhobh, Km, state, z0m):
     """Diffusion tendencies for (u, v, w) plus the surface drag stress.
 
@@ -169,10 +177,7 @@ def diffuse_momentum(grid, rhobf, rhobh, Km, state, z0m):
     transpose term is omitted — standard simplification; the energetically
     relevant vertical stress divergence and the wall stress are retained).
     """
-    ustar, flux_u_sfc, flux_v_sfc = surface_drag(grid, state, z0m)
-    # interpolate fluxes to the staggered points of u and v
-    fu = 0.5 * (sm(flux_u_sfc, X - 1) + flux_u_sfc)   # [ny, nx] at x-faces
-    fv = 0.5 * (sm(flux_v_sfc, Y - 1) + flux_v_sfc)
+    ustar, fu, fv = surface_momentum_fluxes(grid, state, z0m)
     tu = diffuse_scalar(grid, rhobf, rhobh, Km, state.u, surf_flux=fu)
     tv = diffuse_scalar(grid, rhobf, rhobh, Km, state.v, surf_flux=fv)
     # w: diffuse the interior faces as a scalar co-located with centers

@@ -158,6 +158,8 @@ def _batched_call(u, v, w, Ks, scalars, rhobf, rhobh,
     rhobf: [n, nz]; rhobh: [n, nz+1]; P = ny*nx. Returns [n, S, nz, P].
     """
     n, S, nz, P = scalars.shape
+    # bz must be a multiple of the 8-sublane tile so every DMA offset
+    # (z0 = zi*bz) stays aligned
     assert nz % bz == 0 and bz % ZP == 0, (nz, bz)
     assert P % nx == 0 and P % LANE == 0, (P, nx)
     # fold rhobh into w; pad scalars/K in z (edge) for alignment + BCs
@@ -234,7 +236,7 @@ def _make_op(ny, nx, dx, dy, dz, bz, interpret):
 
 
 def advect_diffuse_scalars(u, v, w, Ks, scalars, rhobf, rhobh,
-                           dx, dy, dz, bz=16, interpret=False):
+                           dx, dy, dz, bz=8, interpret=False):
     """Fused advection+diffusion tendencies for a scalar stack, one LES.
 
     u, v: [nz, ny, nx]; w: [nz+1, ny, nx]; Ks, scalars: [S, nz, ny, nx];
@@ -243,6 +245,9 @@ def advect_diffuse_scalars(u, v, w, Ks, scalars, rhobf, rhobh,
     == 0 and nz % bz == 0.
     """
     S, nz, ny, nx = scalars.shape
+    if not interpret:
+        # run the kernel in interpret mode off-TPU (CPU tests/parity runs)
+        interpret = jax.default_backend() != "tpu"
     op = _make_op(int(ny), int(nx), float(dx), float(dy), float(dz),
                   int(bz), bool(interpret))
     return op(u, v, w, Ks, scalars, rhobf, rhobh)

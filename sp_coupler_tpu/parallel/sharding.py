@@ -17,17 +17,36 @@ import jax
 from jax.sharding import PartitionSpec as P
 
 
+def spatial_axes(mesh):
+    """Whether the mesh carves the LES horizontal plane (reference P2,
+    --lesprocs / DALES nprocx x nprocy)."""
+    return mesh is not None and (
+        mesh.shape.get("x", 1) > 1 or mesh.shape.get("y", 1) > 1)
+
+
 def constrain_fleet(state, mesh):
-    """Constrain an LES fleet pytree to P('les') on its batch axis."""
+    """Constrain an LES fleet pytree onto the mesh.
+
+    Batch axis -> 'les'. With x/y mesh axes > 1, 3-D+ fields additionally
+    shard their horizontal plane as P('les', None, 'y', 'x') (layout
+    [n, z(+1), y, x]); XLA/GSPMD then materializes the stencil rolls as
+    halo collective-permutes and the slab means as psums — the TPU
+    equivalent of DALES's 2-D domain decomposition + MPI halo exchange.
+    """
     if mesh is None:
         return state
+    spatial = spatial_axes(mesh)
 
     def con(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == mesh.shape["les"] * (
-                x.shape[0] // max(mesh.shape["les"], 1)):
-            return jax.lax.with_sharding_constraint(
-                x, jax.sharding.NamedSharding(mesh, P("les")))
-        return x
+        nd = getattr(x, "ndim", 0)
+        if nd == 0:
+            return x
+        if spatial and nd >= 4:
+            spec = P("les", None, "y", "x")
+        else:
+            spec = P("les")
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, spec))
 
     return jax.tree.map(con, state)
 

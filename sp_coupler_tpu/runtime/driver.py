@@ -60,7 +60,8 @@ def create_fleet(cfg: SPConfig, n_les):
         phys = lstep.LESPhysics(
             scheme=cfg.les_advection,
             subgrid=cfg.les_subgrid,
-            qt_forcing=QT_MODES[cfg.qt_forcing])
+            qt_forcing=QT_MODES[cfg.qt_forcing],
+            use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
         dt = cfg.les_dt if cfg.les_dt > 0 else 5.0
         return les_model.LESFleet(grid, phys, n_les, dt, seed=cfg.seed)
     if cfg.les_type == "dummy":
@@ -556,6 +557,23 @@ class SPRunner:
         for s in range(nsteps):
             self.step()
             log.info("---- time step %d done ----", s)
+            self._log_memory()
+
+    @staticmethod
+    def _log_memory():
+        """Per-step host memory log (the reference logs psutil full-info
+        after every step, splib.py:216, 225-226)."""
+        try:
+            import psutil
+            rss = psutil.Process().memory_info().rss
+        except Exception:
+            try:
+                with open("/proc/self/status") as f:
+                    line = next(l for l in f if l.startswith("VmRSS"))
+                rss = int(line.split()[1]) * 1024
+            except Exception:
+                return
+        log.info("memory usage: %.1f MB rss", rss / 1e6)
 
     # ---------------------------------------------------------------- spinup
 

@@ -98,3 +98,29 @@ def test_flat_supported():
     assert lf.supported(lgrid.LESGrid())                       # 64x64x160
     assert lf.supported(lgrid.LESGrid(nx=128, ny=128))
     assert not lf.supported(lgrid.LESGrid(nx=10, ny=10))
+
+
+def test_tendencies_pallas_path_matches_xla_path():
+    """tendencies() with use_pallas=True (interpret off-TPU) == XLA path."""
+    from sp_coupler_tpu.models.les import state as lstate, step as lstep
+    rng = np.random.default_rng(3)
+    g = lgrid.LESGrid(nx=16, ny=16, nz=32, dz=25.0)
+    nz = g.nz
+    key = jax.random.PRNGKey(0)
+    st = lstate.init_state(
+        g, jnp.asarray(np.linspace(-5, 5, nz), jnp.float32),
+        jnp.zeros(nz, jnp.float32),
+        jnp.asarray(np.linspace(298, 312, nz), jnp.float32),
+        jnp.asarray(np.linspace(0.016, 0.002, nz), jnp.float32),
+        101300.0, key)
+    st = st._replace(w=st.w.at[1:-1].set(
+        jnp.asarray(rng.normal(0, 0.1, (nz - 1, g.ny, g.nx)), jnp.float32)))
+    frc = lstate.LESForcing.zeros(nz)._replace(
+        wthl=jnp.asarray(0.01), wqt=jnp.asarray(1e-5))
+    t_x = lstep.tendencies(g, lstep.LESPhysics(use_pallas=False), st, frc,
+                           1.0)
+    t_p = lstep.tendencies(g, lstep.LESPhysics(use_pallas=True), st, frc,
+                           1.0)
+    for k in ("thl", "qt", "qr", "e12", "u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(t_p[k]), np.asarray(t_x[k]),
+                                   atol=5e-5, rtol=1e-4, err_msg=k)

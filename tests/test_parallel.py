@@ -1,0 +1,81 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh.
+
+Validates the TPU parallel plan of SURVEY.md section 2.4 without TPU
+hardware: instance parallelism over the `les` axis (P1) and intra-LES
+horizontal domain decomposition over `x`/`y` (P2, DALES nprocx*nprocy +
+halo exchange -> GSPMD collective-permutes inserted around the stencil
+rolls).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sp_coupler_tpu.models.les import (grid as lgrid, state as lstate,
+                                       step as lstep)
+from sp_coupler_tpu.models.les.state import LESForcing
+from sp_coupler_tpu.parallel import mesh as pmesh, sharding as shd
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _tiny_fleet(n):
+    g = lgrid.LESGrid(nx=16, ny=16, nz=16, dx=200.0, dy=200.0, dz=100.0)
+    nz = g.nz
+    zf = np.asarray(g.zf())
+    thl0 = jnp.asarray(298.0 + 0.006 * zf, jnp.float32)
+    qt0 = jnp.asarray(14e-3 * np.exp(-zf / 2500.0), jnp.float32)
+    u0 = jnp.asarray(-8.0 + 1e-3 * zf, jnp.float32)
+    v0 = jnp.full(nz, -4.0, jnp.float32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(42), i))(jnp.arange(n))
+    st = jax.vmap(lambda k: lstate.init_state(g, u0, v0, thl0, qt0,
+                                              1.0e5, k))(keys)
+    frc = jax.vmap(lambda _: LESForcing.zeros(nz))(jnp.arange(n))
+    return g, st, frc
+
+
+def _evolve(g, phys, mesh):
+    def f(st, frc):
+        st = shd.constrain_fleet(st, mesh)
+        st, nsub = jax.vmap(
+            lambda s, fr: lstep.evolve_adaptive(g, phys, s, fr,
+                                                s.time + 20.0, dt_max=5.0))(
+            st, frc)
+        return shd.constrain_fleet(st, mesh), nsub
+    return jax.jit(f)
+
+
+class TestSpatialSharding:
+    def test_spatial_matches_single_device(self):
+        """P('les', None, 'y', 'x') evolve == unsharded evolve."""
+        g, st, frc = _tiny_fleet(2)
+        phys = lstep.LESPhysics()
+
+        ref_state, _ = _evolve(g, phys, None)(st, frc)
+
+        mesh = pmesh.make_mesh(n_les=2, n_x=2, n_y=2)
+        assert shd.spatial_axes(mesh)
+        with jax.set_mesh(mesh):
+            st_sh = pmesh.shard_fleet(st, mesh, spatial=True)
+            out_state, _ = _evolve(g, phys, mesh)(st_sh, frc)
+        for k in ("u", "v", "w", "thl", "qt", "e12"):
+            a = np.asarray(getattr(ref_state, k))
+            b = np.asarray(getattr(out_state, k))
+            np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-4,
+                                       err_msg=k)
+
+    def test_les_axis_sharding(self):
+        """Pure instance parallelism: 8 instances over 8 devices."""
+        g, st, frc = _tiny_fleet(8)
+        phys = lstep.LESPhysics()
+        mesh = pmesh.make_mesh(n_les=8)
+        assert not shd.spatial_axes(mesh)
+        with jax.set_mesh(mesh):
+            st_sh = pmesh.shard_fleet(st, mesh)
+            out_state, nsub = _evolve(g, phys, mesh)(st_sh, frc)
+        thl = np.asarray(out_state.thl)
+        assert np.all(np.isfinite(thl))
+        assert int(np.asarray(nsub)[0]) >= 4
