@@ -71,6 +71,18 @@ class SPConfig:
     mesh_x: int = 1                    # intra-LES spatial sharding (x)
     mesh_y: int = 1
 
+    # --- reference process-topology knobs (splib.py:44-65), accepted for
+    # drop-in compatibility and mapped onto mesh axes: the per-model MPI
+    # rank counts become device-mesh extents, the AMUSE channel and the
+    # worker-thread queue have no equivalent in a single SPMD program ---
+    gcm_num_procs: int = 1             # --gcmprocs: GCM spatial shards (P3)
+    les_num_procs: int = 1             # --lesprocs: intra-LES shards (P2)
+    les_queue_threads: int = 0         # --queue: no-op (XLA schedules)
+    channel_type: str = "spmd"         # --channel: no-op (no RPC)
+    async_evolve: bool = True          # no-op (dispatch is always async)
+    gcm_redirect: str = "file"         # no-op (one process)
+    les_redirect: str = "file"         # no-op (one process)
+
     # --- IO ---
     write_every: int = 1
     async_io: bool = True

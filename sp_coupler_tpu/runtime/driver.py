@@ -162,6 +162,11 @@ class SPRunner:
 
         self.rain_last = np.zeros(max(n, 1))
 
+        # device mesh: --mesh_les / --lesprocs map the reference's MPI rank
+        # blocks (P1 instance parallelism, P2 intra-LES decomposition) onto
+        # named mesh axes; with one device everything stays local
+        self.mesh = self._build_mesh(n)
+
         # fused fast path: native GCM + native LES -> one jitted program per
         # coupled step (coupling/coupler.py); the host only writes spifs.nc
         self.coupled = None
@@ -179,6 +184,7 @@ class SPRunner:
                 cplsurf=cfg.cplsurf,
                 qt_variance=(cfg.qt_forcing == "variance"),
                 constant_T=cfg.variability_nudge_constant_T,
+                mesh=self.mesh,
                 seed=cfg.seed)
 
         if not cfg.restart:
@@ -197,13 +203,60 @@ class SPRunner:
                     thl=np.asarray(conv.thl), qt=np.asarray(conv.qt),
                     ps=np.asarray(conv.ps),
                     start_time=-cfg.les_spinup)
+                self._shard_fleet_state()
                 if cfg.les_spinup > 0:
                     self.run_spinup(cfg.les_spinup, cfg.les_spinup_steps)
         else:
             self._half_step_done = False
             from ..io import restart as restart_io
             restart_io.load(self)
+            self._shard_fleet_state()
         return self
+
+    def _build_mesh(self, n_les):
+        """Device mesh from the config's topology knobs (or None).
+
+        The reference's --lesprocs (MPI ranks per DALES, P2) becomes the
+        intra-LES x*y spatial sharding; --queue and --channel have no
+        SPMD equivalent and are logged as accepted no-ops.
+        """
+        cfg = self.cfg
+        if cfg.les_queue_threads > 0:
+            log.info("--queue %d accepted (no-op: the LES fleet is one "
+                     "batched device computation)", cfg.les_queue_threads)
+        if cfg.channel_type != "spmd":
+            log.info("--channel %s accepted (no-op: no RPC in a single "
+                     "SPMD program)", cfg.channel_type)
+        n_x, n_y = cfg.mesh_x, cfg.mesh_y
+        if cfg.les_num_procs > 1 and n_x * n_y == 1:
+            n_x = int(np.sqrt(cfg.les_num_procs))
+            while cfg.les_num_procs % n_x:
+                n_x -= 1
+            n_y = cfg.les_num_procs // n_x
+        total = cfg.mesh_les * n_x * n_y
+        if total <= 1:
+            return None
+        ndev = len(jax.devices())
+        if total > ndev or (n_les and n_les % cfg.mesh_les):
+            log.warning("mesh (les=%d, x=%d, y=%d) does not fit %d devices "
+                        "/ %d instances; running unsharded",
+                        cfg.mesh_les, n_x, n_y, ndev, n_les)
+            return None
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(cfg.mesh_les, n_x, n_y,
+                               devices=jax.devices()[:total])
+        log.info("device mesh: les=%d, x=%d, y=%d", cfg.mesh_les, n_x, n_y)
+        return mesh
+
+    def _shard_fleet_state(self):
+        """Lay the fleet state out over the mesh (instances + x/y space)."""
+        if self.mesh is None or not isinstance(self.fleet,
+                                               les_model.LESFleet):
+            return
+        from ..parallel import mesh as pmesh
+        spatial = self.mesh.shape["x"] * self.mesh.shape["y"] > 1
+        self.fleet.state = pmesh.shard_fleet(self.fleet.state, self.mesh,
+                                             spatial=spatial)
 
     # ------------------------------------------------------- coupling pieces
 

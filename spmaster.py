@@ -112,6 +112,25 @@ def build_parser(defaults: SPConfig):
     p.add_argument("--mesh_les", dest="mesh_les", type=int,
                    default=defaults.mesh_les,
                    help="Device-mesh extent for the LES batch axis")
+    # reference process-topology flags (spmaster.py:101-148, 205-213),
+    # accepted for drop-in compatibility; mapped onto device-mesh axes
+    p.add_argument("--lesprocs", dest="les_num_procs", metavar="N", type=int,
+                   default=defaults.les_num_procs,
+                   help="Devices per LES instance (reference: MPI tasks per "
+                        "DALES); becomes intra-LES x*y spatial sharding")
+    p.add_argument("--gcmprocs", dest="gcm_num_procs", metavar="N", type=int,
+                   default=defaults.gcm_num_procs,
+                   help="Devices for the GCM (reference: OpenIFS MPI tasks); "
+                        "becomes spectral-transform sharding")
+    p.add_argument("--queue", dest="les_queue_threads", metavar="N", type=int,
+                   default=defaults.les_queue_threads,
+                   help="Ignored (reference worker-thread queue; the LES "
+                        "fleet is one batched device computation here)")
+    p.add_argument("--channel", dest="channel_type", metavar="TYPE",
+                   choices=["sockets", "mpi", "nospawn", "spmd"],
+                   default=defaults.channel_type,
+                   help="Ignored (reference AMUSE channel; there is no RPC "
+                        "in a single SPMD program)")
     return p
 
 

@@ -187,6 +187,24 @@ class TestFusedPath:
         assert np.all(np.isfinite(thl))
         ds.close()
 
+    def test_meshed_run(self, tmp_path):
+        """--mesh_les/--lesprocs topology: fleet sharded over the 8 virtual
+        devices (les=2 instances x 2x2 intra-LES decomposition)."""
+        cfg = self._cfg(tmp_path, mesh_les=2, les_num_procs=4,
+                        max_num_les=2)
+        r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        assert r.mesh is not None
+        assert dict(r.mesh.shape) == {"les": 2, "x": 2, "y": 2}
+        assert len(r.sp_cols) == 2
+        r.run(2)
+        r.finalize()
+        ds = spifs.open_reader(cfg.output_path)
+        for col in r.sp_cols:
+            thl = np.asarray(ds.groups[str(col)].variables["thl"][:])
+            assert thl.shape == (2, 24) and np.all(np.isfinite(thl))
+        ds.close()
+
     def test_restart_roundtrip(self, tmp_path):
         cfg = self._cfg(tmp_path)
         r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
