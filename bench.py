@@ -65,11 +65,15 @@ def main():
     prof = jax.vmap(lambda s: ldiag.slab_profiles(grid, s))(les_state)
     rain = jnp.zeros(n_les)
 
-    # warmup (compile + first coupled step)
+    # warmup: first=True and first=False compile to DIFFERENT programs
+    # (static leapfrog Euler-start arg); run one step of each so the timed
+    # window measures steady state, not a recompile
     print("bench: compiling + first coupled step ...", file=sys.stderr,
           flush=True)
     t0 = time.time()
     out = step_fn(gcm_state, les_state, prof, rain, 0, first=True)
+    gcm_state, les_state, prof, rain, d0 = jax.block_until_ready(out)
+    out = step_fn(gcm_state, les_state, prof, rain, 1, first=False)
     gcm_state, les_state, prof, rain, d0 = jax.block_until_ready(out)
     warm = time.time() - t0
     print("bench: warmup %.0fs, %s substeps" % (
@@ -78,7 +82,7 @@ def main():
     n_timed = 3
     total_sub = 0
     t0 = time.time()
-    for s in range(1, n_timed + 1):
+    for s in range(2, n_timed + 2):
         out = step_fn(gcm_state, les_state, prof, rain, s, first=False)
         gcm_state, les_state, prof, rain, diag = jax.block_until_ready(out)
         total_sub += int(np.sum(np.asarray(diag["n_substeps"])))

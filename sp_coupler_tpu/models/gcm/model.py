@@ -57,11 +57,19 @@ class GCMConfig:
 
 
 class GCMCore:
-    """Functional core: precomputed operators + jitted phase functions."""
+    """Functional core: precomputed operators + jitted phase functions.
 
-    def __init__(self, cfg: GCMConfig):
+    ``mesh``/``shard_axis`` lay the Gaussian grid out in latitude bands
+    over the named mesh axis (or tuple of axes) — the reference's
+    intra-GCM parallelism (P3, --gcmprocs / OpenIFS NPROC). GCM and LES
+    phases never overlap in time, so the GCM reuses the LES fleet's
+    devices (SURVEY.md section 2.4).
+    """
+
+    def __init__(self, cfg: GCMConfig, mesh=None, shard_axis=None):
         self.cfg = cfg
-        self.sht = spharm.SpectralTransform(cfg.trunc)
+        self.sht = spharm.SpectralTransform(cfg.trunc, mesh=mesh,
+                                            axis=shard_axis)
         self.vc = vertical.VerticalCoords(cfg.nlev, tref=cfg.tref)
         # warm the implicit-inverse caches (host-side numpy inversions)
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
@@ -275,8 +283,9 @@ class GCMModel:
 
     support_async = False
 
-    def __init__(self, cfg: GCMConfig = GCMConfig(), seed=0):
-        self.core = GCMCore(cfg)
+    def __init__(self, cfg: GCMConfig = GCMConfig(), seed=0, mesh=None,
+                 shard_axis=None):
+        self.core = GCMCore(cfg, mesh=mesh, shard_axis=shard_axis)
         self.cfg = cfg
         self.state = self.core.initial_state(seed)
         self.mask = set()

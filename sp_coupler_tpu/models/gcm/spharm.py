@@ -97,12 +97,23 @@ def legendre_tables(trunc, nlat):
 
 
 class SpectralTransform:
-    """Precomputed transform operator for one (truncation, grid) pair."""
+    """Precomputed transform operator for one (truncation, grid) pair.
+
+    Sharding (reference P3, --gcmprocs / OpenIFS NPROC): pass
+    ``mesh``/``axis`` to lay grid space out in latitude bands over that
+    mesh axis. Constraints are placed at the transform boundaries only;
+    GSPMD then keeps the whole grid-space physics chain lat-sharded and
+    turns the Legendre contraction into partial sums + an all-reduce —
+    the role of the reference GCM's MPI transposes. Spectral coefficients
+    are tiny (M x N x 2 per level) and stay replicated.
+    """
 
     def __init__(self, trunc, nlat=None, nlon=None, radius=6.371e6,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None, axis=None):
         if nlat is None or nlon is None:
             nlon, nlat = GRID_FOR_TRUNC[trunc]
+        self._mesh = mesh
+        self._axis = axis if mesh is not None else None
         self.trunc = trunc
         self.nlat = nlat
         self.nlon = nlon
@@ -168,21 +179,49 @@ class SpectralTransform:
         self.Ffwd = jnp.asarray(fwd, dtype)          # [nlon, M, 2]
         self.Finv = jnp.asarray(inv, dtype)          # [M, 2, nlon]
 
+    # ---- sharding ----------------------------------------------------------
+
+    def constrain_grid(self, f, lat_from_end=2):
+        """Constrain a grid-space array to latitude bands on the mesh axis.
+
+        ``lat_from_end``: position of the latitude dim counted from the
+        end (2 for [..., nlat, nlon], 3 for zonal spectra [..., nlat, M, 2]).
+        No-op when the transform was built without a mesh.
+        """
+        if self._axis is None:
+            return f
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * f.ndim
+        spec[f.ndim - lat_from_end] = self._axis
+        return jax.lax.with_sharding_constraint(
+            f, NamedSharding(self._mesh, P(*spec)))
+
+    def constrain_spec(self, s):
+        """Constrain spectral coefficients to be replicated."""
+        if self._axis is None:
+            return s
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            s, NamedSharding(self._mesh, P()))
+
     # ---- scalar transforms -------------------------------------------------
 
     def _fft(self, f):
         """[..., nlat, nlon] -> packed zonal spectra [..., nlat, M, 2]."""
+        f = self.constrain_grid(f)
         return jnp.einsum("...i,imc->...mc", f, self.Ffwd, precision=_PREC)
 
     def _ifft(self, fm):
         """packed zonal spectra [..., nlat, M, 2] -> grid [..., nlat, nlon]."""
-        return jnp.einsum("...mc,mci->...i", fm, self.Finv, precision=_PREC)
+        fm = self.constrain_grid(fm, lat_from_end=3)
+        return self.constrain_grid(
+            jnp.einsum("...mc,mci->...i", fm, self.Finv, precision=_PREC))
 
     def analyze(self, f):
         """Grid [..., nlat, nlon] -> packed spectral [..., M, N, 2]."""
         fm = self._fft(f)
         s = jnp.einsum("...jmc,jmn->...mnc", fm, self.Pw, precision=_PREC)
-        return s * self.mask[..., None]
+        return self.constrain_spec(s * self.mask[..., None])
 
     def synthesize(self, s):
         """Packed spectral [..., M, N, 2] -> grid [..., nlat, nlon]."""
@@ -249,7 +288,8 @@ class SpectralTransform:
                            precision=_PREC)
                 + jnp.einsum("...jmc,jmn->...mnc", A, self.Hw,
                              precision=_PREC)) / self.radius
-        return vort * self.mask[..., None], div * self.mask[..., None]
+        return (self.constrain_spec(vort * self.mask[..., None]),
+                self.constrain_spec(div * self.mask[..., None]))
 
     def grad(self, s):
         """Grid (df/dx, df/dy) (true horizontal gradient) from spectral f."""

@@ -39,13 +39,21 @@ QT_MODES = {"sp": lstep.QT_FORCING_GLOBAL,
             "strong": lstep.QT_FORCING_STRONG}
 
 
-def create_gcm(cfg: SPConfig):
+def create_gcm(cfg: SPConfig, mesh=None):
     if cfg.gcm_type in ("sptpu", "oifs"):
         from ..models.gcm import model as gcm_model
         gcfg = gcm_model.GCMConfig(trunc=cfg.gcm_truncation,
                                    nlev=cfg.gcm_levels, dt=cfg.gcm_dt,
                                    start_date=cfg.gcm_start_date)
-        return gcm_model.GCMModel(gcfg, seed=cfg.seed)
+        # --gcmprocs: latitude-band sharding of the spectral transforms
+        # over the WHOLE mesh (GCM and LES phases never overlap in time)
+        shard_axis = None
+        if mesh is not None and cfg.gcm_num_procs > 1:
+            shard_axis = ("les", "x", "y")
+            log.info("GCM spectral transforms sharded over %d devices",
+                     mesh.size)
+        return gcm_model.GCMModel(gcfg, seed=cfg.seed, mesh=mesh,
+                                  shard_axis=shard_axis)
     if cfg.gcm_type == "dummy":
         return dummy_mod.DummyGCM()
     if cfg.gcm_type in ("ncfile", "spifsnc_gcm"):
@@ -103,7 +111,12 @@ class SPRunner:
             raise RuntimeError("output dir %s exists" % cfg.output_dir)
         os.makedirs(cfg.output_dir, exist_ok=True)
 
-        self.gcm = create_gcm(cfg)
+        # device mesh: --mesh_les / --lesprocs map the reference's MPI rank
+        # blocks (P1 instance parallelism, P2 intra-LES decomposition) onto
+        # named mesh axes; --gcmprocs lat-shards the GCM transforms (P3)
+        self.mesh = self._build_mesh()
+
+        self.gcm = create_gcm(cfg, self.mesh)
         self.gcm.initialize_code()
         self.gcm.commit_parameters()
         self.gcm.commit_grid()
@@ -162,11 +175,6 @@ class SPRunner:
 
         self.rain_last = np.zeros(max(n, 1))
 
-        # device mesh: --mesh_les / --lesprocs map the reference's MPI rank
-        # blocks (P1 instance parallelism, P2 intra-LES decomposition) onto
-        # named mesh axes; with one device everything stays local
-        self.mesh = self._build_mesh(n)
-
         # fused fast path: native GCM + native LES -> one jitted program per
         # coupled step (coupling/coupler.py); the host only writes spifs.nc
         self.coupled = None
@@ -213,7 +221,7 @@ class SPRunner:
             self._shard_fleet_state()
         return self
 
-    def _build_mesh(self, n_les):
+    def _build_mesh(self):
         """Device mesh from the config's topology knobs (or None).
 
         The reference's --lesprocs (MPI ranks per DALES, P2) becomes the
@@ -237,10 +245,9 @@ class SPRunner:
         if total <= 1:
             return None
         ndev = len(jax.devices())
-        if total > ndev or (n_les and n_les % cfg.mesh_les):
-            log.warning("mesh (les=%d, x=%d, y=%d) does not fit %d devices "
-                        "/ %d instances; running unsharded",
-                        cfg.mesh_les, n_x, n_y, ndev, n_les)
+        if total > ndev:
+            log.warning("mesh (les=%d, x=%d, y=%d) does not fit %d devices; "
+                        "running unsharded", cfg.mesh_les, n_x, n_y, ndev)
             return None
         from ..parallel import mesh as pmesh
         mesh = pmesh.make_mesh(cfg.mesh_les, n_x, n_y,
@@ -252,6 +259,11 @@ class SPRunner:
         """Lay the fleet state out over the mesh (instances + x/y space)."""
         if self.mesh is None or not isinstance(self.fleet,
                                                les_model.LESFleet):
+            return
+        n = self.fleet.n
+        if n % self.mesh.shape["les"]:
+            log.warning("%d LES instances not divisible by mesh les=%d; "
+                        "fleet stays unsharded", n, self.mesh.shape["les"])
             return
         from ..parallel import mesh as pmesh
         spatial = self.mesh.shape["x"] * self.mesh.shape["y"] > 1
