@@ -95,7 +95,12 @@ class GCMCore:
         Teq = physics.equilibrium_temperature(p_full, self.lat_rad,
                                               cfg.phys)
         T_grid = jnp.broadcast_to(Teq, (L, self.nlat, self.nlon))
-        q_grid = 0.7 * thermo.qsat_liq(T_grid, p_full)
+        # relative humidity decays with height (~80% at the surface, ~40%
+        # at 600 hPa), the observed tropical-marine structure; constant-RH
+        # moisture makes the whole column moist-unstable and drives the
+        # embedded LES into deep convection instead of trade cumulus
+        rh = 0.8 * vc.sf[:, None, None] ** 1.5
+        q_grid = rh * thermo.qsat_liq(T_grid, p_full)
         spec = dycore.SpectralState.zeros(L, M, N)
         spec = spec._replace(
             T=sht.analyze(T_grid),

@@ -30,7 +30,12 @@ class PhysicsParams(NamedTuple):
     t_strat: float = 200.0            # stratospheric equilibrium T
     t_eq_sfc: float = 300.0           # surface equatorial equilibrium T
     dT_eq_pole: float = 60.0          # equator-pole equilibrium contrast
-    dtheta_z: float = 10.0            # static-stability parameter
+    dtheta_z: float = 25.0            # static-stability parameter (~3 K/km
+                                      # in the lowest 4 km at the equator,
+                                      # matching observed trade-wind
+                                      # stratification; the Held-Suarez
+                                      # value of 10 leaves the tropics
+                                      # strongly moist-unstable)
     sst: float = 300.0                # fixed ocean surface temperature base
     dsst_pole: float = 27.0           # SST equator-pole contrast
     z0m: float = 1.6e-4               # ocean momentum roughness

@@ -190,12 +190,19 @@ def tendencies(grid, phys, state, forcing, dt):
                         * grid.dz) - zs) / phys.sponge_depth, 0.0, 1.0)
     dw = dw - (rate_h / phys.sponge_tau)[:, None, None] * state.w
 
+    # max eddy diffusivity for the caller's Peclet dt limit (DALES
+    # tstep_update uses the previous closure call's ekm/ekh fields)
+    kmax = jnp.maximum(jnp.max(Km), jnp.max(Kh))
     return dict(u=du, v=dv, w=dw, thl=dthl, qt=dqt, qr=dqr, e12=de12,
-                ustar=ustar, surf_rain=surf_rain)
+                ustar=ustar, surf_rain=surf_rain, kmax=kmax)
 
 
-def substep(grid, phys, state: LESState, forcing: LESForcing, dt) -> LESState:
-    """One full LES time step: RK3 (Wicker-Skamarock) + projection."""
+def substep(grid, phys, state: LESState, forcing: LESForcing, dt):
+    """One full LES time step: RK3 (Wicker-Skamarock) + projection.
+
+    Returns (state, kmax) with kmax the final stage's max eddy diffusivity,
+    for the adaptive driver's Peclet limit.
+    """
     def stage(s, frac, base):
         t = tendencies(grid, phys, s, forcing, dt)
         u = base.u + frac * dt * t["u"]
@@ -211,16 +218,16 @@ def substep(grid, phys, state: LESState, forcing: LESForcing, dt) -> LESState:
             e12=jnp.maximum(base.e12 + frac * dt * t["e12"],
                             subgrid.E12_MIN),
             ustar=t["ustar"],
-        ), t["surf_rain"]
+        ), t
 
     s1, _ = stage(state, 1.0 / 3.0, state)
     s2, _ = stage(s1, 0.5, state)
-    s3, rain_flux = stage(s2, 1.0, state)
+    s3, t3 = stage(s2, 1.0, state)
     return s3._replace(
         ps=state.ps + dt * 0.0,  # surface pressure tendency handled in evolve
-        rain=state.rain + dt * rain_flux,
+        rain=state.rain + dt * t3["surf_rain"],
         time=state.time + dt,
-    )
+    ), t3["kmax"]
 
 
 def evolve(grid, phys, state: LESState, forcing: LESForcing, dt, n_steps):
@@ -242,20 +249,23 @@ def evolve(grid, phys, state: LESState, forcing: LESForcing, dt, n_steps):
                            rhobf=rhobf, rhobh=rhobh)
 
     def body(s, _):
-        return substep(grid, phys, s, forcing, dt), ()
+        return substep(grid, phys, s, forcing, dt)[0], ()
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
 
 
 def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
-                    t_end, dt_max=15.0, cfl=0.7, dt_min=0.2):
+                    t_end, dt_max=15.0, cfl=0.7, dt_min=0.2, peclet=0.1):
     """Advance to exactly t_end with CFL-adaptive substeps (jit-safe).
 
     Replicates DALES's adaptive time stepping (namoptions ladaptive=.true.,
-    courant=0.7; evolve_model(t, exactEnd=True), splib.py:566) as a
-    lax.while_loop: each iteration picks dt = cfl / max(|u|/dx, |v|/dy,
-    |w|/dz), clipped to [dt_min, dt_max] and to the remaining interval.
+    courant=0.7, peclet=0.1; evolve_model(t, exactEnd=True), splib.py:566)
+    as a lax.while_loop: each iteration picks
+    dt = min(cfl / max_cell(|u|/dx + |v|/dy + |w|/dz),
+             peclet / (max(K) * (1/dx^2 + 1/dy^2 + 1/dz^2))),
+    clipped to [dt_min, dt_max] and to the remaining interval; max(K)
+    comes from the previous substep's closure, as in DALES tstep_update.
     Returns (state, n_substeps_taken).
     """
     from .state import base_state
@@ -269,19 +279,28 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
                            rhobf=rhobf, rhobh=rhobh)
 
     def cond(carry):
-        s, n = carry
+        s, n, kmax = carry
         return s.time < t_end - 1e-3
 
+    inv2 = 1.0 / grid.dx ** 2 + 1.0 / grid.dy ** 2 + 1.0 / grid.dz ** 2
+
     def body(carry):
-        s, n = carry
+        s, n, kmax = carry
         # per-cell Courant number like DALES (max over cells of the summed
         # directional CFL), not the over-conservative sum of global maxima
         rate_cell = (jnp.abs(s.u) / grid.dx + jnp.abs(s.v) / grid.dy
                      + jnp.abs(0.5 * (s.w[1:] + s.w[:-1])) / grid.dz)
         rate = jnp.max(rate_cell)
-        dt = jnp.clip(cfl / jnp.maximum(rate, 1e-6), dt_min, dt_max)
+        dt = jnp.minimum(cfl / jnp.maximum(rate, 1e-6),
+                         peclet / jnp.maximum(kmax * inv2, 1e-9))
+        dt = jnp.clip(dt, dt_min, dt_max)
         dt = jnp.minimum(dt, t_end - s.time)
-        return substep(grid, phys, s, forcing, dt), n + 1
+        s, kmax = substep(grid, phys, s, forcing, dt)
+        return s, n + 1, kmax
 
-    state, n = jax.lax.while_loop(cond, body, (state, jnp.zeros((), jnp.int32)))
+    # first-substep K bound from the closure's form Kh <= 3 cm Delta e12
+    delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
+    k0 = 3.0 * subgrid.CM * delta * jnp.max(state.e12)
+    state, n, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.zeros((), jnp.int32), k0))
     return state, n

@@ -120,7 +120,8 @@ class TestStep:
         phys = lstep.LESPhysics()
         s = make_state(g)
         f = LESForcing.zeros(g.nz)
-        s2 = lstep.substep(g, phys, s, f, 2.0)
+        s2, kmax = lstep.substep(g, phys, s, f, 2.0)
+        assert float(kmax) >= 0.0
         for name in ("u", "v", "w", "thl", "qt", "qr"):
             arr = getattr(s2, name)
             assert bool(jnp.all(jnp.isfinite(arr))), name
@@ -220,7 +221,7 @@ class TestTKE:
         phys = lstep.LESPhysics(subgrid="smagorinsky")
         s = make_state(g)
         f = LESForcing.zeros(g.nz)
-        s2 = lstep.substep(g, phys, s, f, 2.0)
+        s2, _ = lstep.substep(g, phys, s, f, 2.0)
         assert bool(jnp.all(jnp.isfinite(s2.thl)))
         # e12 untouched by the smagorinsky branch
         np.testing.assert_allclose(np.asarray(s2.e12), np.asarray(s.e12))
