@@ -190,18 +190,23 @@ def tendencies(grid, phys, state, forcing, dt):
                         * grid.dz) - zs) / phys.sponge_depth, 0.0, 1.0)
     dw = dw - (rate_h / phys.sponge_tau)[:, None, None] * state.w
 
-    # max eddy diffusivity for the caller's Peclet dt limit (DALES
-    # tstep_update uses the previous closure call's ekm/ekh fields)
-    kmax = jnp.maximum(jnp.max(Km), jnp.max(Kh))
+    # max eddy viscosity for the caller's Peclet dt limit. DALES
+    # tstep_update bounds dt with ekm ONLY (not ekh — scalar diffusion
+    # with Kh ~ 3 Km runs at diffusion number ~0.3, stable inside RK3),
+    # so using max(Km, Kh) here would cut dt ~3x below the reference.
+    kmax = jnp.max(Km)
     return dict(u=du, v=dv, w=dw, thl=dthl, qt=dqt, qr=dqr, e12=de12,
                 ustar=ustar, surf_rain=surf_rain, kmax=kmax)
 
 
-def substep(grid, phys, state: LESState, forcing: LESForcing, dt):
+def substep(grid, phys, state: LESState, forcing: LESForcing, dt,
+            solver=None):
     """One full LES time step: RK3 (Wicker-Skamarock) + projection.
 
     Returns (state, kmax) with kmax the final stage's max eddy diffusivity,
-    for the adaptive driver's Peclet limit.
+    for the adaptive driver's Peclet limit. Pass a prebuilt
+    poisson.build_solver on the hot path (evolve does) so the pressure
+    eigenfactorization runs once per coupled step, not per stage.
     """
     def stage(s, frac, base):
         t = tendencies(grid, phys, s, forcing, dt)
@@ -209,7 +214,7 @@ def substep(grid, phys, state: LESState, forcing: LESForcing, dt):
         v = base.v + frac * dt * t["v"]
         w = base.w + frac * dt * t["w"]
         u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v, w,
-                                     frac * dt)
+                                     frac * dt, solver=solver)
         return s._replace(
             u=u, v=v, w=w,
             thl=base.thl + frac * dt * t["thl"],
@@ -247,9 +252,10 @@ def evolve(grid, phys, state: LESState, forcing: LESForcing, dt, n_steps):
     pbf, pbh, rhobf, rhobh = base_state(grid, thl0, qt0, ps_new)
     state = state._replace(ps=ps_new, pbf=pbf, pbh=pbh,
                            rhobf=rhobf, rhobh=rhobh)
+    solver = poisson.build_solver(grid, rhobf, rhobh)
 
     def body(s, _):
-        return substep(grid, phys, s, forcing, dt)[0], ()
+        return substep(grid, phys, s, forcing, dt, solver=solver)[0], ()
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
@@ -263,9 +269,10 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
     courant=0.7, peclet=0.1; evolve_model(t, exactEnd=True), splib.py:566)
     as a lax.while_loop: each iteration picks
     dt = min(cfl / max_cell(|u|/dx + |v|/dy + |w|/dz),
-             peclet / (max(K) * (1/dx^2 + 1/dy^2 + 1/dz^2))),
-    clipped to [dt_min, dt_max] and to the remaining interval; max(K)
-    comes from the previous substep's closure, as in DALES tstep_update.
+             peclet * min(dx, dy, dz)^2 / max(ekm)),
+    clipped to [dt_min, dt_max] and to the remaining interval; max(ekm)
+    comes from the previous substep's closure, exactly as in DALES
+    tstep_update (modtstep.f90: ekm * rdt / minval((/dzh,dx,dy/))**2).
     Returns (state, n_substeps_taken).
     """
     from .state import base_state
@@ -277,12 +284,13 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
     pbf, pbh, rhobf, rhobh = base_state(grid, thl0, qt0, ps_new)
     state = state._replace(ps=ps_new, pbf=pbf, pbh=pbh,
                            rhobf=rhobf, rhobh=rhobh)
+    solver = poisson.build_solver(grid, rhobf, rhobh)
 
     def cond(carry):
         s, n, kmax = carry
         return s.time < t_end - 1e-3
 
-    inv2 = 1.0 / grid.dx ** 2 + 1.0 / grid.dy ** 2 + 1.0 / grid.dz ** 2
+    min2 = min(grid.dx, grid.dy, grid.dz) ** 2
 
     def body(carry):
         s, n, kmax = carry
@@ -292,15 +300,16 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
                      + jnp.abs(0.5 * (s.w[1:] + s.w[:-1])) / grid.dz)
         rate = jnp.max(rate_cell)
         dt = jnp.minimum(cfl / jnp.maximum(rate, 1e-6),
-                         peclet / jnp.maximum(kmax * inv2, 1e-9))
+                         peclet * min2 / jnp.maximum(kmax, 1e-9))
         dt = jnp.clip(dt, dt_min, dt_max)
         dt = jnp.minimum(dt, t_end - s.time)
-        s, kmax = substep(grid, phys, s, forcing, dt)
+        s, kmax = substep(grid, phys, s, forcing, dt, solver=solver)
         return s, n + 1, kmax
 
-    # first-substep K bound from the closure's form Kh <= 3 cm Delta e12
+    # first-substep bound from the closure's form Km = cm * lam * e12,
+    # lam <= Delta
     delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
-    k0 = 3.0 * subgrid.CM * delta * jnp.max(state.e12)
+    k0 = subgrid.CM * delta * jnp.max(state.e12)
     state, n, _ = jax.lax.while_loop(
         cond, body, (state, jnp.zeros((), jnp.int32), k0))
     return state, n

@@ -66,6 +66,35 @@ class TestPoisson:
         assert float(jnp.max(jnp.abs(w2[0]))) == 0.0
         assert float(jnp.max(jnp.abs(w2[-1]))) == 0.0
 
+    def test_eigen_matches_thomas(self):
+        """The all-matmul eigenbasis solve agrees with the sequential
+        Thomas reference path on the projected velocities."""
+        g = small_grid()
+        s = make_state(g)
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 3)
+        u = s.u + 0.5 * jax.random.normal(ks[0], s.u.shape)
+        v = s.v + 0.5 * jax.random.normal(ks[1], s.v.shape)
+        w = s.w.at[1:-1].set(0.3 * jax.random.normal(ks[2], s.w[1:-1].shape))
+        ue, ve, we, _ = poisson.project(g, s.rhobf, s.rhobh, u, v, w, 5.0)
+        ut, vt, wt, _ = poisson.project(g, s.rhobf, s.rhobh, u, v, w, 5.0,
+                                        method="thomas")
+        np.testing.assert_allclose(np.asarray(ue), np.asarray(ut), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ve), np.asarray(vt), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(we), np.asarray(wt), atol=2e-5)
+
+    def test_solver_prebuilt_matches(self):
+        """Prebuilt solver (the evolve hot path) == per-call build."""
+        g = small_grid()
+        s = make_state(g)
+        key = jax.random.PRNGKey(8)
+        u = s.u + 0.5 * jax.random.normal(key, s.u.shape)
+        solver = poisson.build_solver(g, s.rhobf, s.rhobh)
+        u1, v1, w1, _ = poisson.project(g, s.rhobf, s.rhobh, u, s.v, s.w, 5.0)
+        u2, v2, w2, _ = poisson.project(g, s.rhobf, s.rhobh, u, s.v, s.w, 5.0,
+                                        solver=solver)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-7)
+
     def test_projection_idempotent(self):
         g = small_grid()
         s = make_state(g)
