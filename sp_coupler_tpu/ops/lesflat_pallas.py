@@ -180,11 +180,11 @@ def _batched_call(u, v, w, Ks, scalars, rhobf, rhobh,
         kern,
         grid=(n, nz // bz),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # u
-            pl.BlockSpec(memory_space=pltpu.ANY),   # v
-            pl.BlockSpec(memory_space=pltpu.ANY),   # wr (padded)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # K (padded)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # s (padded)
+            pl.BlockSpec(memory_space=pl.ANY),   # u
+            pl.BlockSpec(memory_space=pl.ANY),   # v
+            pl.BlockSpec(memory_space=pl.ANY),   # wr (padded)
+            pl.BlockSpec(memory_space=pl.ANY),   # K (padded)
+            pl.BlockSpec(memory_space=pl.ANY),   # s (padded)
             coef_spec,                              # 1/(rhobf dz)
             coef_spec,                              # rhobh[:-1]
             coef_spec,                              # rhobh[1:]

@@ -206,7 +206,7 @@ def _batched_call(u, v, w, Km, rhobf, rhobh, nx, dx, dy, dz, bz, interpret):
     return pl.pallas_call(
         kern,
         grid=(n, nz // bz),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + [coef] * 9,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 + [coef] * 9,
         out_specs=[out_spec] * 3,
         out_shape=[shape, shape, shape],
         scratch_shapes=[

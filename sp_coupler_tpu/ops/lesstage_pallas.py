@@ -469,7 +469,7 @@ def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb, scal_s,
     return pl.pallas_call(
         kern,
         grid=(n, nblk),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5 + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
             fld, fld, fld, sfld,
             pl.BlockSpec((1, 8), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
