@@ -40,6 +40,10 @@ class SPConfig:
     output_name: str = "spifs.nc"
     dryrun: bool = False
     restart: bool = False
+    restart_steps: int = 0             # save a checkpoint every N coupled
+                                       # steps; 0 = only at finalize
+                                       # (reference: OpenIFS restart_steps
+                                       # modfac.py:61, DALES trestart :90)
     cplsurf: bool = False              # couple surface fluxes/roughness
     qt_forcing: str = "sp"             # "sp" | "variance" | "local" | "strong"
     conservative_coarsening: bool = False

@@ -68,6 +68,7 @@ def load(runner):
     if hasattr(runner.gcm, "state"):
         runner.gcm.state = _unflatten("gcm", data, runner.gcm.state)
         runner.gcm._first = False
+        runner.gcm.step_count = int(meta.get("gcm_step", 0))
     if getattr(runner.fleet, "state", None) is not None:
         runner.fleet.state = _unflatten("les", runner.fleet.state)
     elif hasattr(runner.fleet, "init_states") and any(

@@ -623,6 +623,10 @@ class SPRunner:
             self.step()
             log.info("---- time step %d done ----", s)
             self._log_memory()
+            if (self.cfg.restart_steps > 0
+                    and (s + 1) % self.cfg.restart_steps == 0):
+                from ..io import restart as restart_io
+                restart_io.save(self)
 
     @staticmethod
     def _log_memory():

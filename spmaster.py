@@ -93,6 +93,10 @@ def build_parser(defaults: SPConfig):
                    help="Max LES instances / closest-N for point selection")
     p.add_argument("--restart", action="store_true", default=False,
                    help="Restart an old run")
+    p.add_argument("--restart_steps", dest="restart_steps", metavar="N",
+                   type=int, default=defaults.restart_steps,
+                   help="Save a restart checkpoint every N steps "
+                        "(0 = only at finalize)")
     p.add_argument("--cplsurf", dest="cplsurf", action="store_true",
                    default=False,
                    help="Couple surface fluxes and roughness lengths")

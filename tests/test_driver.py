@@ -205,6 +205,29 @@ class TestFusedPath:
             assert thl.shape == (2, 24) and np.all(np.isfinite(thl))
         ds.close()
 
+    def test_periodic_restart(self, tmp_path):
+        """restart_steps=1 writes a checkpoint after every coupled step
+        (reference: OpenIFS restart_steps / DALES trestart scheduling)."""
+        import os
+        from sp_coupler_tpu.io import restart as restart_io
+        cfg = self._cfg(tmp_path, restart_steps=1)
+        r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        path = os.path.join(cfg.output_dir, restart_io.FNAME)
+        r.run(1)
+        assert os.path.exists(path)
+        mtime1 = os.path.getmtime(path)
+        r.run(1)
+        assert os.path.getmtime(path) >= mtime1
+        step_saved = r.gcm.step_count
+        r.finalize(save_restart=False)
+        # the checkpoint resumes with the saved GCM step counter
+        cfg2 = cfg.replace(restart=True)
+        r2 = SPRunner(cfg2, [geometry.Point((300.0, 15.0))])
+        r2.initialize()
+        assert r2.gcm.step_count == step_saved
+        r2.finalize(save_restart=False)
+
     def test_restart_roundtrip(self, tmp_path):
         cfg = self._cfg(tmp_path)
         r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
