@@ -47,11 +47,14 @@ def bench(name, step1, st, forcing):
             return jax.lax.scan(body, s, None, length=N)[0]
         return jax.vmap(one)(st, forcing)
 
+    import numpy as np
     j = jax.jit(run)
-    out = jax.block_until_ready(j(st))
+    out = j(st)
+    np.asarray(out.thl[:, :1, :1, :1])  # force execution
     t0 = time.time()
     for _ in range(3):
-        out = jax.block_until_ready(j(st))
+        out = j(st)
+        np.asarray(out.thl[:, :1, :1, :1])
     per = (time.time() - t0) / 3 / N * 1e3
     print("%-34s %8.3f ms" % (name, per), flush=True)
     return out
@@ -126,11 +129,12 @@ def main():
                 return ss._replace(u=u, v=v, w=w), ()
             return jax.lax.scan(body, s, None, length=N)[0]
         return jax.vmap(one)(st, solver0)
+    import numpy as np
     j = jax.jit(run_proj)
-    jax.block_until_ready(j(st))
+    np.asarray(j(st).u[:, :1, :1, :1])
     t0 = time.time()
     for _ in range(3):
-        jax.block_until_ready(j(st))
+        np.asarray(j(st).u[:, :1, :1, :1])
     print("%-34s %8.3f ms" % ("projection (prebuilt solver)",
                               (time.time() - t0) / 3 / N * 1e3), flush=True)
     return 0

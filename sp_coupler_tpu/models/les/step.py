@@ -207,23 +207,43 @@ def substep(grid, phys, state: LESState, forcing: LESForcing, dt,
     for the adaptive driver's Peclet limit. Pass a prebuilt
     poisson.build_solver on the hot path (evolve does) so the pressure
     eigenfactorization runs once per coupled step, not per stage.
+
+    On TPU the whole inter-projection stage (closure, advection,
+    diffusion, micro, forcings, axpy) is ONE Pallas pass
+    (ops/lesstage_pallas) that reads each prognostic field once from HBM;
+    the split tendencies() path below is the reference implementation the
+    kernel is tested against (tests/test_ops.py) and the off-TPU path.
     """
-    def stage(s, frac, base):
-        t = tendencies(grid, phys, s, forcing, dt)
-        u = base.u + frac * dt * t["u"]
-        v = base.v + frac * dt * t["v"]
-        w = base.w + frac * dt * t["w"]
-        u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v, w,
-                                     frac * dt, solver=solver)
-        return s._replace(
-            u=u, v=v, w=w,
-            thl=base.thl + frac * dt * t["thl"],
-            qt=jnp.maximum(base.qt + frac * dt * t["qt"], 0.0),
-            qr=jnp.maximum(base.qr + frac * dt * t["qr"], 0.0),
-            e12=jnp.maximum(base.e12 + frac * dt * t["e12"],
-                            subgrid.E12_MIN),
-            ustar=t["ustar"],
-        ), t
+    from ...ops import lesstage_pallas
+
+    if phys.use_pallas and lesstage_pallas.supported(grid, phys):
+        def stage(s, frac, base):
+            (u, v, wn, thl, qt, qr, e12, kmax, ustar2,
+             rain) = lesstage_pallas.stage_fused(grid, phys, s, base,
+                                                 forcing, frac, dt)
+            w = jnp.concatenate([wn, jnp.zeros_like(wn[:1])], axis=0)
+            u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v, w,
+                                         frac * dt, solver=solver)
+            t = dict(kmax=kmax, surf_rain=rain)
+            return s._replace(u=u, v=v, w=w, thl=thl, qt=qt, qr=qr,
+                              e12=e12, ustar=jnp.sqrt(ustar2)), t
+    else:
+        def stage(s, frac, base):
+            t = tendencies(grid, phys, s, forcing, dt)
+            u = base.u + frac * dt * t["u"]
+            v = base.v + frac * dt * t["v"]
+            w = base.w + frac * dt * t["w"]
+            u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v, w,
+                                         frac * dt, solver=solver)
+            return s._replace(
+                u=u, v=v, w=w,
+                thl=base.thl + frac * dt * t["thl"],
+                qt=jnp.maximum(base.qt + frac * dt * t["qt"], 0.0),
+                qr=jnp.maximum(base.qr + frac * dt * t["qr"], 0.0),
+                e12=jnp.maximum(base.e12 + frac * dt * t["e12"],
+                                subgrid.E12_MIN),
+                ustar=t["ustar"],
+            ), t
 
     s1, _ = stage(state, 1.0 / 3.0, state)
     s2, _ = stage(s1, 0.5, state)

@@ -40,10 +40,11 @@ from .lesflat_pallas import ZP, LANE, _rollx, _face5
 E = 3  # z extension for in-kernel closure halos (Km needed at +-2,
 #        velocity gradients at +-3); must be <= ZP
 
-# profile-pack lane indices
-P_PBF, P_RHOF, P_RHL, P_RHH, P_FU, P_FV, P_FTHL, P_FQT = range(8)
-# scalar-pack lane indices
-S_DT, S_WTHL, S_WQT, S_Z0M = range(4)
+# profile-pack lane indices; lanes 8-11 carry the z-independent run
+# scalars (dt, surface fluxes, z0m) replicated along z — TPU block shapes
+# must tile to (8, 128), so a separate tiny scalar operand cannot lower
+(P_PBF, P_RHOF, P_RHL, P_RHH, P_FU, P_FV, P_FTHL, P_FQT,
+ P_SDT, P_SWTHL, P_SWQT, P_SZ0M) = range(12)
 
 
 def _sat_adjust(thl, qt, p, n_iter):
@@ -66,7 +67,7 @@ def _sat_adjust(thl, qt, p, n_iter):
 
 
 def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
-            ub_ref, vb_ref, wb_ref, sb_ref, scal_ref,
+            ub_ref, vb_ref, wb_ref, sb_ref,
             un_ref, vn_ref, wn_ref, sn_ref,
             kmax_ref, ustar2_ref, rain_ref,
             u_sl, v_sl, w_sl, s_sl, p_sl, sems,
@@ -95,10 +96,10 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
         cp.wait()
 
     ct = ZP
-    dtv = scal_ref[0, S_DT]
-    wthl_s = scal_ref[0, S_WTHL]
-    wqt_s = scal_ref[0, S_WQT]
-    z0m_s = scal_ref[0, S_Z0M]
+    dtv = p_sl[ct, P_SDT]
+    wthl_s = p_sl[ct, P_SWTHL]
+    wqt_s = p_sl[ct, P_SWQT]
+    z0m_s = p_sl[ct, P_SZ0M]
 
     # --- window helpers: rows [ct+lo, ct+bz+hi) of a [*, P] slab ---
     def W(ref, lo=0, hi=0):
@@ -218,7 +219,12 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     fluxv_c = -ustar2 * v1c / U1
     fu_pl = 0.5 * (shx(fluxu_c, 1) + fluxu_c)
     fv_pl = 0.5 * (shy(fluxv_c, 1) + fluxv_c)
-    ustar2_ref[0, 0] = jnp.mean(ustar2)
+    # aux outputs are (8, 128) accumulator blocks revisited across the zi
+    # grid dimension (written back to HBM once per instance b); the
+    # surface quantities are only valid in the zi=0 slab
+    @pl.when(zi == 0)
+    def _():
+        ustar2_ref[0] = jnp.full((8, LANE), jnp.mean(ustar2), f32)
 
     # ---- scalar tendencies (thl, qt, qr share Kh; e12 uses 2 Km) ----
     wr_lo = w_k * rh_lo
@@ -395,7 +401,10 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     dqr_sed = (flux_p1 - flux_0) * irf
     mdqr = jnp.maximum(mdqr + dqr_sed, -jnp.maximum(qr_0, 0.0) / dtv)
     dqr = dqr + mdqr
-    rain_ref[0, 0] = jnp.mean(flux_0[0:1])     # surface flux (slab 0 only)
+
+    @pl.when(zi == 0)
+    def _():                                   # surface rain flux (slab 0)
+        rain_ref[0] = jnp.full((8, LANE), jnp.mean(flux_0[0:1]), f32)
 
     # ---- sponge layer ----
     zf = (g0.astype(f32) + 0.5) * dz
@@ -423,7 +432,11 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     sn_ref[0, 1] = jnp.maximum(sb_ref[0, 1] + fdt * dtv * dqt, 0.0)
     sn_ref[0, 2] = jnp.maximum(sb_ref[0, 2] + fdt * dtv * dqr, 0.0)
     sn_ref[0, 3] = jnp.maximum(sb_ref[0, 3] + fdt * dtv * de12, sg.E12_MIN)
-    kmax_ref[0, 0] = jnp.max(Km0)
+
+    @pl.when(zi == 0)
+    def _():
+        kmax_ref[0] = jnp.zeros((8, LANE), f32)
+    kmax_ref[0] = jnp.maximum(kmax_ref[0], jnp.max(Km0))
 
 
 def _pick_bz(nz):
@@ -437,7 +450,7 @@ def _pick_bz(nz):
     jax.jit, static_argnames=("nx", "dx", "dy", "dz", "bz", "interpret",
                               "scheme", "qt_mode", "f_cor", "sponge_depth",
                               "sponge_tau", "n_sat_iter", "fdt", "mp"))
-def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb, scal_s,
+def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb,
                   nx, dx, dy, dz, bz, interpret, scheme, qt_mode, f_cor,
                   sponge_depth, sponge_tau, n_sat_iter, fdt, mp):
     n, S, nz, P = scal.shape
@@ -462,17 +475,17 @@ def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb, scal_s,
                        memory_space=pltpu.VMEM)
     sfld = pl.BlockSpec((1, S, bz, P), lambda b, i: (b, 0, i, 0),
                         memory_space=pltpu.VMEM)
-    aux = pl.BlockSpec((1, 1), lambda b, i: (b, i),
+    # aux outputs: one (8, 128) tile per instance, revisited by every zi
+    # program (the zi grid dim must stay sequential for the accumulation)
+    aux = pl.BlockSpec((1, 8, LANE), lambda b, i: (b, 0, 0),
                        memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n, nz, P), u.dtype)
-    aux_shape = jax.ShapeDtypeStruct((n, nblk), u.dtype)
+    aux_shape = jax.ShapeDtypeStruct((n, 8, LANE), u.dtype)
     return pl.pallas_call(
         kern,
         grid=(n, nblk),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
             fld, fld, fld, sfld,
-            pl.BlockSpec((1, 8), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[fld, fld, fld, sfld, aux, aux, aux],
         out_shape=[shape, shape, shape,
@@ -487,9 +500,10 @@ def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb, scal_s,
             pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(up, vp, wp, spad, profp, ub, vb, wb, sb, scal_s)
+    )(up, vp, wp, spad, profp, ub, vb, wb, sb)
 
 
 @functools.lru_cache(maxsize=None)
@@ -498,7 +512,7 @@ def _make_op(ny, nx, dx, dy, dz, bz, interpret, scheme, qt_mode, f_cor,
     """Unbatched stage op with a custom vmap rule (fleet batching)."""
 
     def call(args, n):
-        (u, v, w, scal, prof, ub, vb, wb, sb, scal_s) = args
+        (u, v, w, scal, prof, ub, vb, wb, sb) = args
         S, nz = scal.shape[-4], scal.shape[-3]
         P = ny * nx
         outs = _batched_call(
@@ -507,18 +521,17 @@ def _make_op(ny, nx, dx, dy, dz, bz, interpret, scheme, qt_mode, f_cor,
             scal.reshape(n, S, nz, P), prof.reshape(n, nz, LANE),
             ub.reshape(n, nz, P), vb.reshape(n, nz, P),
             wb.reshape(n, nz, P), sb.reshape(n, S, nz, P),
-            scal_s.reshape(n, 8),
             nx, dx, dy, dz, bz, interpret, scheme, qt_mode, f_cor,
             sponge_depth, sponge_tau, n_sat_iter, fdt, mp)
         un, vn, wn, sn, kmax, ustar2, rain = outs
         return (un.reshape(n, nz, ny, nx), vn.reshape(n, nz, ny, nx),
                 wn.reshape(n, nz, ny, nx), sn.reshape(n, S, nz, ny, nx),
-                jnp.max(kmax, axis=1), ustar2[:, 0], rain[:, 0])
+                kmax[:, 0, 0], ustar2[:, 0, 0], rain[:, 0, 0])
 
     @jax.custom_batching.custom_vmap
-    def op(u, v, w, scal, prof, ub, vb, wb, sb, scal_s):
+    def op(u, v, w, scal, prof, ub, vb, wb, sb):
         outs = call(tuple(x[None] for x in
-                          (u, v, w, scal, prof, ub, vb, wb, sb, scal_s)), 1)
+                          (u, v, w, scal, prof, ub, vb, wb, sb)), 1)
         return tuple(o[0] for o in outs)
 
     @op.def_vmap
@@ -554,7 +567,8 @@ def stage_fused(grid, phys, cur, base, forcing, frac_dt, dt):
                   float(frac_dt), mp)
     scal = jnp.stack([cur.thl, cur.qt, cur.qr, cur.e12])
     sb = jnp.stack([base.thl, base.qt, base.qr, base.e12])
-    # profile pack: [nz, LANE] with the 8 used lanes
+    # profile pack: [nz, LANE]; lanes 0-7 z-profiles, lanes 8-11 the
+    # z-independent run scalars replicated along z
     prof = jnp.zeros((nz, LANE), cur.thl.dtype)
     prof = prof.at[:, P_PBF].set(cur.pbf)
     prof = prof.at[:, P_RHOF].set(cur.rhobf)
@@ -564,14 +578,13 @@ def stage_fused(grid, phys, cur, base, forcing, frac_dt, dt):
     prof = prof.at[:, P_FV].set(forcing.f_v)
     prof = prof.at[:, P_FTHL].set(forcing.f_thl)
     prof = prof.at[:, P_FQT].set(forcing.f_qt)
-    scal_s = jnp.zeros((8,), cur.thl.dtype)
-    scal_s = scal_s.at[S_DT].set(dt)
-    scal_s = scal_s.at[S_WTHL].set(forcing.wthl)
-    scal_s = scal_s.at[S_WQT].set(forcing.wqt)
-    scal_s = scal_s.at[S_Z0M].set(forcing.z0m)
+    prof = prof.at[:, P_SDT].set(dt)
+    prof = prof.at[:, P_SWTHL].set(forcing.wthl)
+    prof = prof.at[:, P_SWQT].set(forcing.wqt)
+    prof = prof.at[:, P_SZ0M].set(forcing.z0m)
     un, vn, wn, sn, kmax, ustar2, rain = op(
         cur.u, cur.v, cur.w, scal, prof,
-        base.u, base.v, base.w[:-1], sb, scal_s)
+        base.u, base.v, base.w[:-1], sb)
     return un, vn, wn, sn[0], sn[1], sn[2], sn[3], kmax, ustar2, rain
 
 
