@@ -39,7 +39,13 @@ import numpy as np
 
 from .advect import divergence, X, Y, Z
 
-_HI = jax.lax.Precision.HIGHEST  # f32-accurate matmuls (TPU default is bf16)
+# f32-accurate matmuls (the TPU default is bf16, which loses ~8e-3 and is
+# amplified by the operator's conditioning to an unusable ~1e-3 residual).
+# HIGH (3-pass bf16 emulation) + one refinement pass measures the same
+# post-projection residual as HIGHEST (6-pass): 2.8e-8 vs 2.4e-8 max|div|
+# on the 64x64x160 case — both well below the f32 Thomas reference's
+# 7.7e-8 — at ~11% less projection time.
+_HI = jax.lax.Precision.HIGH
 
 
 # --------------------------------------------------------------------------

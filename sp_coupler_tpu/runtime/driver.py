@@ -214,6 +214,28 @@ class SPRunner:
                 self._shard_fleet_state()
                 if cfg.les_spinup > 0:
                     self.run_spinup(cfg.les_spinup, cfg.les_spinup_steps)
+            elif n > 0 and cfg.les_input_dir:
+                # DALES-style cold start from the case's prof.inp (the
+                # reference LES initializes itself from its deck when the
+                # coupler does not push state)
+                from ..utils import decks
+                prof = decks.read_dales_prof(cfg.les_input_dir,
+                                             cfg.les_exp_name)
+                if prof is not None:
+                    zf = np.asarray(self._les_zf)
+                    cols = {k: np.interp(zf, prof["z"], prof[k])
+                            for k in ("u", "v", "thl", "qt")}
+                    rep = {k: np.repeat(v[None], n, 0)
+                           for k, v in cols.items()}
+                    self.fleet.init_states(
+                        u=rep["u"], v=rep["v"], thl=rep["thl"],
+                        qt=rep["qt"], ps=np.full(n, 1.0e5, np.float32),
+                        start_time=-cfg.les_spinup)
+                    self._shard_fleet_state()
+                    if cfg.les_spinup > 0:
+                        conv = self._gather_convert(write=True)
+                        self.run_spinup(cfg.les_spinup,
+                                        cfg.les_spinup_steps)
         else:
             self._half_step_done = False
             from ..io import restart as restart_io

@@ -163,9 +163,19 @@ def main(argv=None):
     defaults = SPConfig()
     parser = build_parser(defaults)
     args = parser.parse_args(argv)
-    cfg = read_config(args.conf, base=defaults) if args.conf else defaults
+    # precedence: dataclass defaults < native input decks (namoptions /
+    # fort.4, like the reference's Fortran codes configure themselves,
+    # modfac.py:40-93) < --conf JSON < explicitly-given CLI flags
+    from sp_coupler_tpu.utils import decks
+    cfg = defaults.replace(**{
+        k: v for k, v in vars(args).items()
+        if k in ("les_input_dir", "gcm_input_dir", "les_exp_name")})
+    cfg = decks.apply_decks(cfg)
+    if args.conf:
+        cfg = read_config(args.conf, base=cfg)
     overrides = {k: v for k, v in vars(args).items()
-                 if k in SPConfig.__dataclass_fields__}
+                 if k in SPConfig.__dataclass_fields__
+                 and v != parser.get_default(k)}
     cfg = cfg.replace(**overrides)
 
     geoms, out_geoms = geometries_from_args(args)
