@@ -90,6 +90,10 @@ class SPConfig:
     # --- IO ---
     write_every: int = 1
     async_io: bool = True
+    check_finite: bool = True          # abort cleanly if the LES state
+                                       # goes non-finite (failure detection)
+    jax_profile: bool = False          # capture a jax profiler trace of
+                                       # one coupled step into output_dir
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

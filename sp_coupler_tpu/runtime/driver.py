@@ -480,6 +480,12 @@ class SPRunner:
         """Write one fused-step diagnostics bundle to spifs.nc."""
         import jax as _jax
         d = _jax.tree.map(np.asarray, diag)
+        if self.cfg.check_finite and not np.all(
+                np.isfinite(d["les"]["THL"])):
+            bad = [self.sp_cols[i] for i in np.where(
+                ~np.isfinite(d["les"]["THL"]).all(axis=-1))[0]]
+            raise FloatingPointError(
+                "non-finite LES state in column(s) %s" % bad)
         gcm, conv, les, tend, f = (d["gcm"], d["conv"], d["les"], d["tend"],
                                    d["forcing"])
         for i, col in enumerate(self.sp_cols):
@@ -642,7 +648,17 @@ class SPRunner:
 
     def run(self, nsteps):
         for s in range(nsteps):
+            # profile the second step: past compile + Euler start
+            # (reference tracing: per-step timing.txt; here additionally a
+            # full device trace on request, SURVEY.md section 5)
+            profiling = self.cfg.jax_profile and s == 1
+            if profiling:
+                tdir = os.path.join(self.cfg.output_dir, "jax_trace")
+                jax.profiler.start_trace(tdir)
             self.step()
+            if profiling:
+                jax.profiler.stop_trace()
+                log.info("jax profiler trace written to %s", tdir)
             log.info("---- time step %d done ----", s)
             self._log_memory()
             if (self.cfg.restart_steps > 0

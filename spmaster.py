@@ -135,6 +135,10 @@ def build_parser(defaults: SPConfig):
                    default=defaults.channel_type,
                    help="Ignored (reference AMUSE channel; there is no RPC "
                         "in a single SPMD program)")
+    p.add_argument("--profile", dest="jax_profile", action="store_true",
+                   default=False,
+                   help="Capture a jax profiler device trace of one "
+                        "coupled step into ODIR/jax_trace")
     return p
 
 
@@ -185,7 +189,15 @@ def main(argv=None):
         log.info("dry run complete; gridpoints.txt written")
         return 0
     # one extra step: restart runs have a one-step overlap (spmaster.py:267)
-    runner.run(cfg.gcm_steps + 1)
+    try:
+        runner.run(cfg.gcm_steps + 1)
+    except Exception:
+        # the reference logs, finalizes (best-effort restart save +
+        # netCDF close) and exits nonzero on a step failure
+        # (splib.py:300-304)
+        log.exception("Exception in coupled run; finalizing")
+        runner.finalize(save_restart=True)
+        return 1
     runner.finalize()
     return 0
 
