@@ -50,8 +50,10 @@ def main():
             conv0.u, conv0.v, conv0.thl, conv0.qt, conv0.ps, keys)
 
     les_state = init_les(gcm_state)
+    # chunk the evolve: bounds one device execution to ~70 substeps
+    # (some runtimes deadline multi-minute single programs)
     step_fn = CoupledStepFn(core, grid, phys, cols, dt_les=15.0,
-                            n_substeps=0)
+                            n_substeps=0, evolve_chunks=8)
     prof = jax.vmap(lambda s: ldiag.slab_profiles(grid, s))(les_state)
     rain = jnp.zeros(n_les)
 

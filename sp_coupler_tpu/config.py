@@ -63,6 +63,9 @@ class SPConfig:
     les_ysize: float = 12800.0         # m
     les_dz: float = 25.0               # m (uniform grid; 160 x 25 m = 4 km top)
     les_nsubsteps: int = 0             # substeps per GCM step; 0 = derive from les_dt/CFL
+    les_evolve_chunks: int = 1         # device programs per LES evolve; >1
+                                       # bounds single-execution device time
+                                       # for very large fleets
     les_cfl: float = 0.7               # CFL target when deriving the substep
     les_advection: str = "hybrid52"    # "cd2" | "hybrid52" (5th horiz / 2nd vert)
     les_subgrid: str = "tke"       # "tke" (DALES default) | "smagorinsky"

@@ -30,7 +30,7 @@ class CoupledStepFn:
     def __init__(self, gcm_core, les_grid, les_phys, sp_cols, dt_les,
                  n_substeps, les_forcing_factor=1.0, gcm_forcing_factor=1.0,
                  conservative=False, cplsurf=False, qt_variance=False,
-                 constant_T=False, mesh=None, seed=42):
+                 constant_T=False, mesh=None, seed=42, evolve_chunks=1):
         self.core = gcm_core
         self.grid = les_grid
         self.phys = les_phys
@@ -45,19 +45,46 @@ class CoupledStepFn:
         self.constant_T = constant_T
         self.mesh = mesh
         self.seed = seed
+        # evolve_chunks > 1 splits one coupled step into pre / k x evolve /
+        # post device programs: bounds single-execution device time for
+        # very large fleets (preemption/checkpoint latency; some runtimes
+        # also deadline long-running programs)
+        self.evolve_chunks = max(1, int(evolve_chunks))
         self.zf = les_grid.zf()
         self.zh_full = les_grid.zh()
         self._jit = jax.jit(self._step,
                             static_argnames=("first", "skip_half"))
+        self._jit_pre = jax.jit(self._pre,
+                                static_argnames=("first", "skip_half"))
+        self._jit_evolve = jax.jit(self._evolve_to)
+        self._jit_post = jax.jit(self._post, static_argnames=("first",))
 
     def __call__(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
                  first=False, skip_half=False):
         """skip_half: the GCM first half (phase A + cloud scheme) was already
         run host-side (the driver's initialization does it before seeding
         the LES states, mirroring splib.py:183-189)."""
+        if self.evolve_chunks > 1:
+            return self._call_chunked(gcm_state, les_state, prev_prof,
+                                      rain_last, step_idx, first, skip_half)
         return self._jit(gcm_state, les_state, prev_prof, rain_last,
                          jnp.asarray(step_idx, jnp.int32), first=first,
                          skip_half=skip_half)
+
+    def _call_chunked(self, gcm_state, les_state, prev_prof, rain_last,
+                      step_idx, first, skip_half):
+        dt = self.core.cfg.dt
+        gcm_state, les_state, forcing, conv, prof, pre_diag = self._jit_pre(
+            gcm_state, les_state, prev_prof,
+            jnp.asarray(step_idx, jnp.int32), first=first,
+            skip_half=skip_half)
+        n_sub = jnp.zeros((self.cols.shape[0],), jnp.int32)
+        k = self.evolve_chunks
+        for _ in range(k):
+            les_state, ns = self._jit_evolve(les_state, forcing, dt / k)
+            n_sub = n_sub + ns
+        return self._jit_post(gcm_state, les_state, conv, prof, rain_last,
+                              n_sub, pre_diag, first=first)
 
     # ------------------------------------------------------------------
 
@@ -65,9 +92,10 @@ class CoupledStepFn:
         return jax.vmap(lambda s: ldiag.slab_profiles(self.grid, s))(
             les_state)
 
-    def _step(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
-              first, skip_half=False):
-        core, grid = self.core, self.grid
+    def _pre(self, gcm_state, les_state, prev_prof, step_idx, first,
+             skip_half=False):
+        """GCM first half + gather/convert/forcings (+ nudge)."""
+        core = self.core
         dt = core.cfg.dt
 
         # --- GCM first half (phase A + cloud scheme) ---
@@ -88,7 +116,6 @@ class CoupledStepFn:
             conv, {k: les_prof[k] for k in
                    ("U", "V", "THL", "QT", "QL", "PS")})
         rain = les_prof["Rain"]
-        rainrate = (rain - rain_last) / dt
 
         n = self.cols.shape[0]
         if self.cplsurf:
@@ -107,7 +134,11 @@ class CoupledStepFn:
             f_qt=fdict["f_qt"], f_ql=fdict["f_ql"], f_ps=fdict["f_ps"],
             ql_ref=conv.ql, wthl=wthl, wqt=wqt, z0m=z0m, z0h=z0h)
 
-        nudge_diag = {}
+        pre_diag = {"gcm": prof, "forcing": fdict, "rain": rain,
+                    "z0m": z0m, "z0h": z0h, "wthl": wthl, "wqt": wqt}
+        if surf is not None:
+            pre_diag["surf"] = surf
+
         if self.qt_variance:
             fields = jax.vmap(ldiag.fields_3d)(les_state)
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1),
@@ -123,20 +154,28 @@ class CoupledStepFn:
             qt_new = jnp.where(apply_nudge, res.qt, les_state.qt)
             thl_new = jnp.where(apply_nudge, res.thl, les_state.thl)
             les_state = les_state._replace(qt=qt_new, thl=thl_new)
-            nudge_diag = {"qt_alpha": res.alpha, "qt_beta": res.beta,
-                          "qt_std": res.qt_std}
+            pre_diag.update(qt_alpha=res.alpha, qt_beta=res.beta,
+                            qt_std=res.qt_std)
+        return gcm_state, les_state, forcing, conv, prof, pre_diag
 
-        # --- LES fleet evolve (the hot loop: CFL-adaptive substeps) ---
+    def _evolve_to(self, les_state, forcing, dt_frac):
+        """LES fleet evolve by dt_frac seconds (the hot loop)."""
         les_state = shd.constrain_fleet(les_state, self.mesh)
         les_state, n_sub = jax.vmap(
             lambda s, f: lstep.evolve_adaptive(
-                grid, self.phys, s, f, s.time + dt, dt_max=self.dt_les),
+                self.grid, self.phys, s, f, s.time + dt_frac,
+                dt_max=self.dt_les),
             in_axes=(0, 0))(les_state, forcing)
         les_state = shd.constrain_fleet(les_state, self.mesh)
+        return les_state, n_sub
 
+    def _post(self, gcm_state, les_state, conv, prof, rain_last, n_sub,
+              pre_diag, first):
+        """Slab diagnostics, LES -> GCM tendencies, GCM second half."""
+        core, grid = self.core, self.grid
+        dt = core.cfg.dt
         prof_les = self._les_profiles(les_state)
 
-        # --- LES -> GCM tendencies ---
         A_d = jax.vmap(lambda cf, Zh: ldiag.cloud_fraction_on_gcm_levels(
             grid, cf, Zh))(prof_les["cloudfrac_z"], conv.Zh)
         jles = {k: prof_les[k] for k in
@@ -151,14 +190,19 @@ class CoupledStepFn:
         # --- GCM second half ---
         gcm_state = core.phase_b(gcm_state, first)
 
-        diag = {
-            "gcm": prof, "conv": conv, "forcing": fdict,
-            "rain": rain, "rainrate": rainrate,
-            "les": prof_les, "tend": tend, "t_diag": tdiag["t"],
-            "A_d": A_d, "z0m": z0m, "z0h": z0h, "wthl": wthl, "wqt": wqt,
-            "n_substeps": n_sub,
-        }
-        if surf is not None:
-            diag["surf"] = surf
-        diag.update(nudge_diag)
+        rain = pre_diag["rain"]
+        diag = dict(pre_diag)
+        diag.update(
+            conv=conv, rainrate=(rain - rain_last) / dt,
+            les=prof_les, tend=tend, t_diag=tdiag["t"],
+            A_d=A_d, n_substeps=n_sub)
         return gcm_state, les_state, prof_les, rain, diag
+
+    def _step(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
+              first, skip_half=False):
+        gcm_state, les_state, forcing, conv, prof, pre_diag = self._pre(
+            gcm_state, les_state, prev_prof, step_idx, first, skip_half)
+        les_state, n_sub = self._evolve_to(les_state, forcing,
+                                           self.core.cfg.dt)
+        return self._post(gcm_state, les_state, conv, prof, rain_last,
+                          n_sub, pre_diag, first)

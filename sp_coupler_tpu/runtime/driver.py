@@ -193,7 +193,8 @@ class SPRunner:
                 qt_variance=(cfg.qt_forcing == "variance"),
                 constant_T=cfg.variability_nudge_constant_T,
                 mesh=self.mesh,
-                seed=cfg.seed)
+                seed=cfg.seed,
+                evolve_chunks=cfg.les_evolve_chunks)
 
         if not cfg.restart:
             # first half step so U,V,T are initialized (splib.py:183-189)

@@ -247,3 +247,34 @@ class TestFusedPath:
         assert len(times) == 3  # 2 original + 1 new (overlap suppressed)
         assert np.all(np.diff(times) > 0)
         ds.close()
+
+
+class TestChunkedEvolve:
+    def test_chunked_matches_monolithic(self, tmp_path):
+        """les_evolve_chunks=3 gives the same trajectory as one program
+        (the chunks split the evolve interval exactly)."""
+        import jax
+        base = dict(gcm_type="sptpu", les_type="sptpu",
+                    gcm_truncation=10, gcm_levels=8, gcm_dt=600.0,
+                    les_itot=16, les_jtot=16, les_ktot=24,
+                    les_xsize=3200.0, les_ysize=3200.0, les_dz=100.0,
+                    les_dt=5.0)
+        cfg1 = SPConfig(output_dir=str(tmp_path / "a"), **base)
+        cfg2 = SPConfig(output_dir=str(tmp_path / "b"),
+                        les_evolve_chunks=3, **base)
+        outs = []
+        for cfg in (cfg1, cfg2):
+            r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+            r.initialize()
+            assert r.coupled is not None
+            r.run(2)
+            prof = jax.tree.map(np.asarray, r.fleet.get_profiles())
+            outs.append((prof, r.gcm.get_model_time()))
+            r.finalize(save_restart=False)
+        (p1, t1), (p2, t2) = outs
+        assert t1 == t2
+        # dt=5 divides 600/3=200 exactly: identical substep sequence
+        np.testing.assert_allclose(p2["THL"], p1["THL"], rtol=2e-6,
+                                   atol=2e-4)
+        np.testing.assert_allclose(p2["QT"], p1["QT"], rtol=2e-5,
+                                   atol=1e-8)
