@@ -159,14 +159,32 @@ class CoupledStepFn:
         return gcm_state, les_state, forcing, conv, prof, pre_diag
 
     def _evolve_to(self, les_state, forcing, dt_frac):
-        """LES fleet evolve by dt_frac seconds (the hot loop)."""
-        les_state = shd.constrain_fleet(les_state, self.mesh)
-        les_state, n_sub = jax.vmap(
+        """LES fleet evolve by dt_frac seconds (the hot loop).
+
+        With a pure instance-parallel mesh (les axis only) the evolve runs
+        under shard_map: each device's adaptive while_loop stops when ITS
+        local instances reach t_end. Under plain GSPMD the loop condition
+        is a global any(), so every device would pace at the slowest
+        instance on the whole mesh — stragglers would serialize the fleet.
+        """
+        evolve = jax.vmap(
             lambda s, f: lstep.evolve_adaptive(
                 self.grid, self.phys, s, f, s.time + dt_frac,
                 dt_max=self.dt_les),
-            in_axes=(0, 0))(les_state, forcing)
-        les_state = shd.constrain_fleet(les_state, self.mesh)
+            in_axes=(0, 0))
+        mesh = self.mesh
+        les_state = shd.constrain_fleet(les_state, mesh)
+        if mesh is not None and not shd.spatial_axes(mesh):
+            from jax.sharding import PartitionSpec as P
+            spec = jax.tree.map(
+                lambda x: P("les") if getattr(x, "ndim", 0) >= 1 else P(),
+                (les_state, forcing))
+            les_state, n_sub = jax.shard_map(
+                evolve, mesh=mesh, in_specs=spec,
+                out_specs=(spec[0], P("les")))(les_state, forcing)
+        else:
+            les_state, n_sub = evolve(les_state, forcing)
+        les_state = shd.constrain_fleet(les_state, mesh)
         return les_state, n_sub
 
     def _post(self, gcm_state, les_state, conv, prof, rain_last, n_sub,

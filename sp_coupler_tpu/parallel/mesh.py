@@ -20,6 +20,32 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 
+def init_distributed():
+    """Multi-controller bootstrap (reference: mpiexec MPMD launch lines,
+    run_T21_nospawn.sh:18-25; here: one jax process per host).
+
+    jax.distributed.initialize() self-configures on TPU pods from the
+    runtime environment; on other platforms it needs the standard
+    JAX coordinator variables. No-op when not in a multi-process launch.
+    Returns True if a multi-process runtime was initialized.
+    """
+    import os
+    multi = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS")
+             or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+             or os.environ.get("TPU_WORKER_HOSTNAMES"))
+    if not multi:
+        return False
+    try:
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    except Exception as e:  # already initialized / single process
+        import logging
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize failed: %s", e)
+        return False
+
+
 def make_mesh(n_les=None, n_x=1, n_y=1, devices=None):
     """Mesh with axes (les, x, y); defaults to all devices on `les`."""
     devices = devices if devices is not None else jax.devices()

@@ -252,6 +252,11 @@ class SPRunner:
         SPMD equivalent and are logged as accepted no-ops.
         """
         cfg = self.cfg
+        from ..parallel import mesh as pmesh
+        if pmesh.init_distributed():
+            log.info("multi-controller runtime: process %d/%d, %d devices",
+                     jax.process_index(), jax.process_count(),
+                     len(jax.devices()))
         if cfg.les_queue_threads > 0:
             log.info("--queue %d accepted (no-op: the LES fleet is one "
                      "batched device computation)", cfg.les_queue_threads)

@@ -40,7 +40,9 @@ def run(out_path, n_steps=3, trunc=10, nlev=8, les_n=16, les_nz=24,
                                                  dt=600.0))
     grid = lgrid.LESGrid(nx=les_n, ny=les_n, nz=les_nz, dx=200.0, dy=200.0,
                          dz=100.0)
-    phys = lstep.LESPhysics()
+    # the PRODUCTION path per backend: fused Pallas stage kernel on TPU,
+    # XLA elsewhere — so the comparison covers the real deployed program
+    phys = lstep.LESPhysics(use_pallas=jax.default_backend() == "tpu")
     gcm_state = core.initial_state(seed=seed)
     cols = np.linspace(100, 350, n_les).astype(np.int32)
 
@@ -87,8 +89,12 @@ def run(out_path, n_steps=3, trunc=10, nlev=8, les_n=16, les_nz=24,
 # Lyapunov time of minutes, so bit-parity across platforms is impossible by
 # construction. The meaningful targets are (a) the coupled observables
 # (slab-mean profiles, GCM columns) staying close in absolute terms and (b)
-# the turbulence *statistics* agreeing. Per-step rel-to-max tolerances:
-PROFILE_TOL = [6e-3, 2e-2, 5e-2]
+# the turbulence *statistics* agreeing. Per-step rel-to-max tolerances.
+# One coupled "step" is already ~120 chaotic LES substeps, and the TPU run
+# uses the fused Pallas stage while CPU uses the XLA path (measured
+# cross-path wind-profile divergence after step 0: 6.4e-3 rel, i.e.
+# 0.06 m/s on a 10 m/s wind).
+PROFILE_TOL = [1e-2, 2e-2, 5e-2]
 STD_TOL = [0.5, 1.0, 1.5]  # informational: std of a chaotic field
 
 

@@ -278,3 +278,26 @@ class TestChunkedEvolve:
                                    atol=2e-4)
         np.testing.assert_allclose(p2["QT"], p1["QT"], rtol=2e-5,
                                    atol=1e-8)
+
+    def test_les_axis_shard_map_evolve(self, tmp_path):
+        """Pure instance-parallel mesh (les=8): the fused coupled step
+        runs the adaptive evolve under shard_map (per-device while_loop,
+        no straggler coupling across devices) and matches shapes."""
+        cfg = SPConfig(gcm_type="sptpu", les_type="sptpu",
+                       gcm_truncation=10, gcm_levels=8, gcm_dt=600.0,
+                       les_itot=16, les_jtot=16, les_ktot=24,
+                       les_xsize=3200.0, les_ysize=3200.0, les_dz=100.0,
+                       les_dt=5.0, output_dir=str(tmp_path / "out"),
+                       mesh_les=8, max_num_les=8)
+        geoms = [geometry.Point((20.0 + 40 * i, 10.0)) for i in range(8)]
+        r = SPRunner(cfg, geoms)
+        r.initialize()
+        assert r.mesh is not None and dict(r.mesh.shape)["les"] == 8
+        assert len(r.sp_cols) == 8
+        r.run(2)
+        r.finalize(save_restart=False)
+        ds = spifs.open_reader(cfg.output_path)
+        for col in r.sp_cols:
+            thl = np.asarray(ds.groups[str(col)].variables["thl"][:])
+            assert thl.shape == (2, 24) and np.all(np.isfinite(thl))
+        ds.close()
