@@ -439,9 +439,27 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     kmax_ref[0] = jnp.maximum(kmax_ref[0], jnp.max(Km0))
 
 
-def _pick_bz(nz):
+def _vmem_estimate(bz, P, S=4):
+    """Kernel VMEM footprint: 7 field slabs with 2*ZP halo rows of
+    scratch, double-buffered in/out blocks for 7 fields, plus the kernel
+    body's live [bz, P] temporaries (shifted copies, fluxes, closure
+    fields). The temporaries dominate: calibrated against the compiler's
+    scoped-vmem report (121.3 MB at bz=16, P=128*128 => ~76 planes)."""
+    per_plane = P * 4
+    scratch = (3 + S) * (bz + 2 * ZP) * per_plane
+    io = 2 * 2 * (3 + S) * bz * per_plane
+    temps = 76 * bz * per_plane
+    return scratch + io + temps
+
+
+_VMEM_BUDGET = 90 * 1024 * 1024   # of the 100 MB limit we request
+
+
+def _pick_bz(nz, P=64 * 64):
+    """Largest slab depth that divides nz and fits the VMEM budget
+    (128x128 planes need shallower slabs than 64x64)."""
     for bz in (32, 16, 8):
-        if nz % bz == 0:
+        if nz % bz == 0 and _vmem_estimate(bz, P) <= _VMEM_BUDGET:
             return bz
     return None
 
@@ -554,7 +572,7 @@ def stage_fused(grid, phys, cur, base, forcing, frac_dt, dt):
     appends w face nz (= 0).
     """
     nz, ny, nx = cur.thl.shape
-    bz = _pick_bz(nz)
+    bz = _pick_bz(nz, ny * nx)
     interpret = jax.default_backend() != "tpu"
     mp = (float(phys.mphys.nc0), float(phys.mphys.auto_k),
           float(phys.mphys.accr_k), float(phys.mphys.evap_tau),
@@ -591,6 +609,6 @@ def stage_fused(grid, phys, cur, base, forcing, frac_dt, dt):
 def supported(grid, phys):
     """Whether the fused stage kernel supports this configuration."""
     return ((grid.ny * grid.nx) % LANE == 0
-            and _pick_bz(grid.nz) is not None
+            and _pick_bz(grid.nz, grid.ny * grid.nx) is not None
             and phys.subgrid == "tke"
             and phys.scheme == "hybrid52")
