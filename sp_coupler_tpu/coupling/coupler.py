@@ -214,6 +214,13 @@ class CoupledStepFn:
             conv=conv, rainrate=(rain - rain_last) / dt,
             les=prof_les, tend=tend, t_diag=tdiag["t"],
             A_d=A_d, n_substeps=n_sub)
+        # Diagnostics and the prev-step profile carry are small [n, L]
+        # arrays; replicate them so that in a multi-controller run every
+        # process holds a fully-addressable copy (the host-side spifs
+        # writer fetches them with np.asarray, driver._write_fused_diag).
+        # XLA turns this into one tiny all-gather over the les axis.
+        prof_les, rain, diag = shd.replicated(
+            (prof_les, rain, diag), self.mesh)
         return gcm_state, les_state, prof_les, rain, diag
 
     def _step(self, gcm_state, les_state, prev_prof, rain_last, step_idx,

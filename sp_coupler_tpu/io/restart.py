@@ -22,9 +22,23 @@ FNAME = "restart.npz"
 META = "restart.json"
 
 
+def _to_host(x):
+    """Fetch a (possibly multi-process-sharded) array to host numpy.
+
+    In a multi-controller run the LES fleet state is sharded over
+    processes and not fully addressable; gather it first (a collective —
+    every process must reach this call, which save() guarantees by
+    running the flatten on all processes and gating only the file write).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _flatten(tag, tree):
     leaves, treedef = jax.tree.flatten(tree)
-    arrays = {f"{tag}_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {f"{tag}_{i}": _to_host(x) for i, x in enumerate(leaves)}
     return arrays, treedef
 
 
@@ -48,6 +62,8 @@ def save(runner):
         out.update(arrays)
         meta["has_profiles"] = True
     path = os.path.join(runner.cfg.output_dir, FNAME)
+    if jax.process_index() != 0:
+        return  # gathers above are collective; only rank 0 owns the files
     np.savez_compressed(path, **out)
     with open(os.path.join(runner.cfg.output_dir, META), "w") as f:
         json.dump(meta, f)

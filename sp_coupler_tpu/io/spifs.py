@@ -149,6 +149,36 @@ class SpifsWriter:
         self.ds.close()
 
 
+class NullWriter:
+    """Writer stand-in for non-zero processes in a multi-controller run.
+
+    The reference's netCDF file is written only by the master rank
+    (run_T21_nospawn.sh rank 0); here every process executes the same host
+    loop, so processes != 0 write into this sink instead of spifs.nc.
+    """
+
+    is_null = True
+    step = -1
+
+    def add_les_column(self, *a, **k):
+        return None
+
+    def add_output_column(self, *a, **k):
+        return None
+
+    def update_time(self, t):
+        pass
+
+    def write_column(self, index, lock=False, **kwargs):
+        pass
+
+    def sync(self):
+        pass
+
+    def close(self):
+        pass
+
+
 def open_reader(path):
     """Read-mode Dataset for replay/verification tooling."""
     return h5nc.Dataset(path, "r")

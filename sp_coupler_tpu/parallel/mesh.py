@@ -24,12 +24,43 @@ def init_distributed():
     """Multi-controller bootstrap (reference: mpiexec MPMD launch lines,
     run_T21_nospawn.sh:18-25; here: one jax process per host).
 
-    jax.distributed.initialize() self-configures on TPU pods from the
-    runtime environment; on other platforms it needs the standard
-    JAX coordinator variables. No-op when not in a multi-process launch.
-    Returns True if a multi-process runtime was initialized.
+    Two bring-up paths:
+    - explicit: SPTPU_DIST_COORD / SPTPU_DIST_NPROCS / SPTPU_DIST_PROC_ID
+      (the framework's own nospawn equivalent; works on CPU with gloo
+      collectives — used by the multi-process CI test)
+    - automatic: jax.distributed.initialize() self-configures on TPU pods
+      from the runtime environment when the standard coordinator
+      variables are present.
+
+    No-op when not in a multi-process launch. Returns True if a
+    multi-process runtime was initialized (or already is up).
     """
     import os
+
+    def already_up():
+        # distributed state check that does NOT initialize the XLA
+        # backend (jax.process_count() would)
+        try:
+            from jax._src import distributed
+            return distributed.global_state.client is not None
+        except Exception:
+            return False
+
+    if already_up():
+        return jax.process_count() > 1
+    coord = os.environ.get("SPTPU_DIST_COORD")
+    if coord:
+        nprocs = int(os.environ.get("SPTPU_DIST_NPROCS", "1"))
+        pid = int(os.environ.get("SPTPU_DIST_PROC_ID", "0"))
+        if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+            try:  # cross-process CPU collectives need gloo
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+            except Exception:
+                pass
+        jax.distributed.initialize(coord, num_processes=nprocs,
+                                   process_id=pid)
+        return jax.process_count() > 1
     multi = (os.environ.get("JAX_COORDINATOR_ADDRESS")
              or os.environ.get("COORDINATOR_ADDRESS")
              or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
@@ -79,7 +110,10 @@ def fleet_spatial_spec():
 
 def shard_fleet(state, mesh, spatial=False):
     """Apply NamedSharding to every array in an LES fleet pytree."""
-    spec3 = fleet_spatial_spec() if spatial else fleet_spec()
+    # multi-controller: every process computed the same full-size state
+    # host-side; route through numpy so device_put can lay out a global
+    # array over non-addressable devices
+    multiproc = jax.process_count() > 1
 
     def put(x):
         if getattr(x, "ndim", 0) >= 3 and spatial:
@@ -88,6 +122,8 @@ def shard_fleet(state, mesh, spatial=False):
             nd = NamedSharding(mesh, P("les"))
         else:
             return x
+        if multiproc:
+            x = np.asarray(x)
         return jax.device_put(x, nd)
 
     return jax.tree.map(put, state)
@@ -96,4 +132,7 @@ def shard_fleet(state, mesh, spatial=False):
 def replicate(tree, mesh):
     """Replicate a pytree across the mesh (GCM state on every device)."""
     nd = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, nd), tree)
+    multiproc = jax.process_count() > 1
+    return jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x) if multiproc else x, nd),
+        tree)

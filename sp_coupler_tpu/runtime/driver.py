@@ -107,14 +107,20 @@ class SPRunner:
 
     def initialize(self):
         cfg = self.cfg
-        if not cfg.restart and os.path.exists(cfg.output_dir):
-            raise RuntimeError("output dir %s exists" % cfg.output_dir)
-        os.makedirs(cfg.output_dir, exist_ok=True)
 
         # device mesh: --mesh_les / --lesprocs map the reference's MPI rank
         # blocks (P1 instance parallelism, P2 intra-LES decomposition) onto
-        # named mesh axes; --gcmprocs lat-shards the GCM transforms (P3)
+        # named mesh axes; --gcmprocs lat-shards the GCM transforms (P3).
+        # Built first: it may bring up the multi-controller runtime, and
+        # everything below needs to know which process owns the output
+        # files (reference: only the master rank writes, spio.py).
         self.mesh = self._build_mesh()
+        self.io_proc = jax.process_index() == 0
+
+        if (self.io_proc and not cfg.restart
+                and os.path.exists(cfg.output_dir)):
+            raise RuntimeError("output dir %s exists" % cfg.output_dir)
+        os.makedirs(cfg.output_dir, exist_ok=True)
 
         self.gcm = create_gcm(cfg, self.mesh)
         self.gcm.initialize_code()
@@ -164,9 +170,12 @@ class SPRunner:
                 "y": (np.arange(self.fleet.get_jtot()) + 0.5) * dy,
                 "zf": np.asarray(self.fleet.get_zf()),
             }
-        self.writer = spifs.SpifsWriter(
-            cfg.output_path, self.gcm.get_ktot(), les_info, start,
-            append=cfg.restart, with_surf_vars=cfg.cplsurf)
+        if self.io_proc:
+            self.writer = spifs.SpifsWriter(
+                cfg.output_path, self.gcm.get_ktot(), les_info, start,
+                append=cfg.restart, with_surf_vars=cfg.cplsurf)
+        else:
+            self.writer = spifs.NullWriter()
         if not cfg.restart:
             for inst_i, col in enumerate(self.sp_cols):
                 self.writer.add_les_column(col, lats[col], lons[col])
@@ -288,6 +297,12 @@ class SPRunner:
         if self.mesh is None or not isinstance(self.fleet,
                                                les_model.LESFleet):
             return
+        from ..parallel import mesh as _pm
+        if jax.process_count() > 1 and hasattr(self.gcm, "state"):
+            # multi-controller: promote the (identical) per-process GCM
+            # state to one replicated global array so the fused jit sees
+            # consistent global inputs on every process
+            self.gcm.state = _pm.replicate(self.gcm.state, self.mesh)
         n = self.fleet.n
         if n % self.mesh.shape["les"]:
             log.warning("%d LES instances not divisible by mesh les=%d; "
@@ -471,8 +486,21 @@ class SPRunner:
 
     # -------------------------------------------------------------- stepping
 
+    class _NullFile:
+        def write(self, s):
+            pass
+
+        def flush(self):
+            pass
+
+        def close(self):
+            pass
+
     def _open_timing(self):
         if self.timing_file is None:
+            if not getattr(self, "io_proc", True):
+                self.timing_file = self._NullFile()
+                return
             self.timing_file = open(
                 os.path.join(self.cfg.output_dir, "timing.txt"), "a")
             if not self.cfg.restart and not self._timing_header_done:
@@ -547,7 +575,7 @@ class SPRunner:
         # coupling firststep flag: after a spinup the GCM is still on its
         # first leapfrog step while profiles already exist)
         out = self.coupled(self.gcm.state, self.fleet.state, prev_prof,
-                           jnp.asarray(self.rain_last, jnp.float32),
+                           np.asarray(self.rain_last, np.float32),
                            self.gcm.step_count, first=self.gcm._first,
                            skip_half=skip)
         gcm_state, les_state, prof, rain, diag = out
