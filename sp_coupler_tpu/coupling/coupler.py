@@ -79,12 +79,14 @@ class CoupledStepFn:
             jnp.asarray(step_idx, jnp.int32), first=first,
             skip_half=skip_half)
         n_sub = jnp.zeros((self.cols.shape[0],), jnp.int32)
+        n_clamp = jnp.zeros((self.cols.shape[0],), jnp.int32)
         k = self.evolve_chunks
         for _ in range(k):
-            les_state, ns = self._jit_evolve(les_state, forcing, dt / k)
+            les_state, ns, nc = self._jit_evolve(les_state, forcing, dt / k)
             n_sub = n_sub + ns
+            n_clamp = n_clamp + nc
         return self._jit_post(gcm_state, les_state, conv, prof, rain_last,
-                              n_sub, pre_diag, first=first)
+                              n_sub, n_clamp, pre_diag, first=first)
 
     # ------------------------------------------------------------------
 
@@ -179,16 +181,16 @@ class CoupledStepFn:
             spec = jax.tree.map(
                 lambda x: P("les") if getattr(x, "ndim", 0) >= 1 else P(),
                 (les_state, forcing))
-            les_state, n_sub = jax.shard_map(
+            les_state, n_sub, n_clamp = jax.shard_map(
                 evolve, mesh=mesh, in_specs=spec,
-                out_specs=(spec[0], P("les")))(les_state, forcing)
+                out_specs=(spec[0], P("les"), P("les")))(les_state, forcing)
         else:
-            les_state, n_sub = evolve(les_state, forcing)
+            les_state, n_sub, n_clamp = evolve(les_state, forcing)
         les_state = shd.constrain_fleet(les_state, mesh)
-        return les_state, n_sub
+        return les_state, n_sub, n_clamp
 
     def _post(self, gcm_state, les_state, conv, prof, rain_last, n_sub,
-              pre_diag, first):
+              n_clamp, pre_diag, first):
         """Slab diagnostics, LES -> GCM tendencies, GCM second half."""
         core, grid = self.core, self.grid
         dt = core.cfg.dt
@@ -213,7 +215,7 @@ class CoupledStepFn:
         diag.update(
             conv=conv, rainrate=(rain - rain_last) / dt,
             les=prof_les, tend=tend, t_diag=tdiag["t"],
-            A_d=A_d, n_substeps=n_sub)
+            A_d=A_d, n_substeps=n_sub, n_dtmin_clamped=n_clamp)
         # Diagnostics and the prev-step profile carry are small [n, L]
         # arrays; replicate them so that in a multi-controller run every
         # process holds a fully-addressable copy (the host-side spifs
@@ -227,7 +229,7 @@ class CoupledStepFn:
               first, skip_half=False):
         gcm_state, les_state, forcing, conv, prof, pre_diag = self._pre(
             gcm_state, les_state, prev_prof, step_idx, first, skip_half)
-        les_state, n_sub = self._evolve_to(les_state, forcing,
-                                           self.core.cfg.dt)
+        les_state, n_sub, n_clamp = self._evolve_to(les_state, forcing,
+                                                    self.core.cfg.dt)
         return self._post(gcm_state, les_state, conv, prof, rain_last,
-                          n_sub, pre_diag, first)
+                          n_sub, n_clamp, pre_diag, first)

@@ -162,6 +162,11 @@ class Dataset(_GroupMixin):
         self.groups = {}
         self._dims = {}
         self._lock = threading.Lock()
+        if mode == "w":
+            # netCDF-4 provenance marker (written by netcdf-c; readers use
+            # it to identify the file as netCDF-4-flavored HDF5)
+            self._h5file.attrs["_NCProperties"] = np.bytes_(
+                "version=2,sp_coupler_tpu=0.1,hdf5=" + h5py.version.hdf5_version)
         if mode in ("a", "r"):
             self._load_existing()
 

@@ -18,11 +18,18 @@ QL_CLOUD_THRESHOLD = 1e-8  # kg/kg; a cell with more condensate is "cloudy"
 
 def slab_profiles(grid, state):
     """Dict of [nz] slab-mean profiles + scalars, one LES instance."""
+    from ... import constants as c
     T, ql, qs, thv = _step.thermodynamics(state)
     mean = lambda f: jnp.mean(f, axis=(Y, X))
     uc = 0.5 * (state.u + sp(state.u, X))
     vc = 0.5 * (state.v + sp(state.v, Y))
     ql_water, ql_ice = _ice_split_mean(T, ql)
+    # actual vs base density: the reference fetches BOTH get_rhof (the
+    # instantaneous slab density) and get_rhobf (the anelastic base state)
+    # (spcpl.py:750-752). rhof from the ideal-gas law on the current
+    # thermodynamic state at base pressure.
+    Tv = T * (1.0 + (c.rv / c.rd - 1.0) * (state.qt - ql) - ql)
+    rhof = mean(state.pbf[:, None, None] / (c.rd * Tv))
     return {
         "U": mean(uc),
         "V": mean(vc),
@@ -34,7 +41,7 @@ def slab_profiles(grid, state):
         "QR": mean(state.qr),
         "T": mean(T),
         "presf": state.pbf,
-        "Rhof": state.rhobf,
+        "Rhof": rhof,
         "Rhobf": state.rhobf,
         "PS": state.ps,
         "Rain": state.rain,

@@ -106,9 +106,17 @@ class LESFleet:
         span = float(t_end) - self.time
         if span <= 0:
             return
-        self.state, n_sub = self._evolve_v(self.state, forcing,
-                                           float(t_end))
+        self.state, n_sub, n_clamp = self._evolve_v(self.state, forcing,
+                                                    float(t_end))
         self.last_substeps = int(n_sub[0])
+        self.last_dtmin_clamped = np.asarray(n_clamp)
+        if np.any(self.last_dtmin_clamped > 0):
+            import logging
+            logging.getLogger(__name__).warning(
+                "CFL-required dt fell below dt_min in instance(s) %s "
+                "(%s clamped substeps): LES likely unstable",
+                list(np.where(self.last_dtmin_clamped > 0)[0]),
+                self.last_dtmin_clamped[self.last_dtmin_clamped > 0])
         self.time = float(t_end)
 
     def get_profiles(self):

@@ -293,7 +293,10 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
     clipped to [dt_min, dt_max] and to the remaining interval; max(ekm)
     comes from the previous substep's closure, exactly as in DALES
     tstep_update (modtstep.f90: ekm * rdt / minval((/dzh,dx,dy/))**2).
-    Returns (state, n_substeps_taken).
+    Returns (state, n_substeps_taken, n_dtmin_clamped): the third output
+    counts substeps whose stability-required dt fell BELOW dt_min and was
+    clamped — a flagged instability indicator (the driver reports it; the
+    reference's DALES would simply blow up, splib.py:300-304).
     """
     from .state import base_state
 
@@ -307,13 +310,13 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
     solver = poisson.build_solver(grid, rhobf, rhobh)
 
     def cond(carry):
-        s, n, kmax = carry
+        s, n, nclamp, kmax = carry
         return s.time < t_end - 1e-3
 
     min2 = min(grid.dx, grid.dy, grid.dz) ** 2
 
     def body(carry):
-        s, n, kmax = carry
+        s, n, nclamp, kmax = carry
         # per-cell Courant number like DALES (max over cells of the summed
         # directional CFL), not the over-conservative sum of global maxima
         rate_cell = (jnp.abs(s.u) / grid.dx + jnp.abs(s.v) / grid.dy
@@ -321,15 +324,20 @@ def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
         rate = jnp.max(rate_cell)
         dt = jnp.minimum(cfl / jnp.maximum(rate, 1e-6),
                          peclet * min2 / jnp.maximum(kmax, 1e-9))
+        nclamp = nclamp + (dt < dt_min).astype(jnp.int32)
         dt = jnp.clip(dt, dt_min, dt_max)
         dt = jnp.minimum(dt, t_end - s.time)
         s, kmax = substep(grid, phys, s, forcing, dt, solver=solver)
-        return s, n + 1, kmax
+        return s, n + 1, nclamp, kmax
 
     # first-substep bound from the closure's form Km = cm * lam * e12,
     # lam <= Delta
     delta = (grid.dx * grid.dy * grid.dz) ** (1.0 / 3.0)
     k0 = subgrid.CM * delta * jnp.max(state.e12)
-    state, n, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.zeros((), jnp.int32), k0))
-    return state, n
+    # the clamp counter becomes device-varying inside the loop body (it
+    # depends on the sharded state); seed it from the state so the carry's
+    # varying-axes type matches under shard_map
+    nclamp0 = (0.0 * k0).astype(jnp.int32)
+    state, n, nclamp, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.zeros((), jnp.int32), nclamp0, k0))
+    return state, n, nclamp

@@ -177,6 +177,12 @@ class ReplayLESFleet(_ReplayBase):
         self.nx = self.ds.dimensions["x"]
         self.ny = self.ds.dimensions["y"]
         self.nz = len(self.zf)
+        # grid spacing from the recorded cell-center coordinates
+        # (spifs.nc root axes x/y are (i+0.5)*dx), not hardcoded
+        xs = np.asarray(self.ds.variables["x"][:])
+        ys = np.asarray(self.ds.variables["y"][:])
+        self.dx = float(xs[1] - xs[0]) if len(xs) > 1 else 2.0 * float(xs[0])
+        self.dy = float(ys[1] - ys[0]) if len(ys) > 1 else 2.0 * float(ys[0])
 
     def get_itot(self):
         return self.nx
@@ -188,16 +194,16 @@ class ReplayLESFleet(_ReplayBase):
         return self.nz
 
     def get_dx(self):
-        return 200.0
+        return self.dx
 
     def get_dy(self):
-        return 200.0
+        return self.dy
 
     def get_xsize(self):
-        return 200.0 * self.nx
+        return self.dx * self.nx
 
     def get_ysize(self):
-        return 200.0 * self.ny
+        return self.dy * self.ny
 
     def get_zf(self):
         return self.zf

@@ -98,6 +98,7 @@ class SPRunner:
         self.prev_profiles = None
         self.rain_last = None
         self.firststep = True
+        self.step_index = 0  # coupled steps taken (write_every cadence)
         self.timing_file = None
         self._timing_header_done = False
         self._les_zf = None
@@ -117,8 +118,12 @@ class SPRunner:
         self.mesh = self._build_mesh()
         self.io_proc = jax.process_index() == 0
 
+        # clobber guard (splib.py:101-102) — but an EMPTY dir is fine: in a
+        # multi-controller run on a shared filesystem a sibling process may
+        # already have created it
         if (self.io_proc and not cfg.restart
-                and os.path.exists(cfg.output_dir)):
+                and os.path.isdir(cfg.output_dir)
+                and os.listdir(cfg.output_dir)):
             raise RuntimeError("output dir %s exists" % cfg.output_dir)
         os.makedirs(cfg.output_dir, exist_ok=True)
 
@@ -272,6 +277,18 @@ class SPRunner:
         if cfg.channel_type != "spmd":
             log.info("--channel %s accepted (no-op: no RPC in a single "
                      "SPMD program)", cfg.channel_type)
+        # reference work-dir / redirect knobs: no external model processes
+        # exist, so there are no per-model working directories or stdout
+        # streams to redirect — accepted, logged, ignored
+        for knob, default in (("gcm_run_dir", "gcm-work"),
+                              ("les_run_dir", "les-work"),
+                              ("gcm_redirect", "file"),
+                              ("les_redirect", "file"),
+                              ("gcm_exp_name", "TEST")):
+            val = getattr(cfg, knob)
+            if val != default:
+                log.info("--%s %s accepted (no-op: no external model "
+                         "processes in a single SPMD program)", knob, val)
         n_x, n_y = cfg.mesh_x, cfg.mesh_y
         if cfg.les_num_procs > 1 and n_x * n_y == 1:
             n_x = int(np.sqrt(cfg.les_num_procs))
@@ -507,8 +524,23 @@ class SPRunner:
                 self.timing_file.write(
                     "# LES grid points\n"
                     + " ".join(str(cix) for cix in self.sp_cols)
-                    + "\n# timing data\n")
+                    + "\n# timing data"
+                    + " (fused path: phase cols are zeros — one device"
+                    " program; extra trailing col = host IO)\n")
                 self._timing_header_done = True
+
+    def _check_finite_profiles(self, profiles):
+        """Failure detection on the generic (non-fused) path: same abort
+        semantics as the fused path (reference: GCM step exception ->
+        log + finalize + exit, splib.py:300-304)."""
+        if not self.cfg.check_finite:
+            return
+        thl = np.asarray(profiles["THL"])
+        if not np.all(np.isfinite(thl)):
+            bad = [self.sp_cols[i] if i < len(self.sp_cols) else i
+                   for i in np.where(~np.isfinite(thl).all(axis=-1))[0]]
+            raise FloatingPointError(
+                "non-finite LES state in column(s) %s" % bad)
 
     def _write_fused_diag(self, diag):
         """Write one fused-step diagnostics bundle to spifs.nc."""
@@ -520,6 +552,12 @@ class SPRunner:
                 ~np.isfinite(d["les"]["THL"]).all(axis=-1))[0]]
             raise FloatingPointError(
                 "non-finite LES state in column(s) %s" % bad)
+        ncl = np.asarray(d.get("n_dtmin_clamped", 0))
+        if np.any(ncl > 0):
+            bad = [self.sp_cols[i] for i in np.where(ncl > 0)[0]]
+            log.warning("stability-required dt clamped at dt_min in "
+                        "column(s) %s (%s substeps): LES near instability",
+                        bad, ncl[ncl > 0])
         gcm, conv, les, tend, f = (d["gcm"], d["conv"], d["les"], d["tend"],
                                    d["forcing"])
         for i, col in enumerate(self.sp_cols):
@@ -560,7 +598,8 @@ class SPRunner:
     def _step_fused(self):
         """One coupled step through the fused jitted program."""
         cfg = self.cfg
-        writecdf = not (cfg.restart and self.firststep)
+        writecdf = (not (cfg.restart and self.firststep)
+                    and self.step_index % max(cfg.write_every, 1) == 0)
         t = self.gcm.get_model_time()
         dt = self.gcm.get_timestep()
         start = time.time()
@@ -596,20 +635,27 @@ class SPRunner:
         self.writer.sync()
         io_wall += time.time()
         n = max(len(self.sp_cols), 1)
+        # fused path: the reference's phase columns (gcm1/gather/forcings/
+        # tendencies/gcm2) all live inside ONE device program and are not
+        # separable host-side -> written as zeros; per-LES columns carry
+        # the fused step wall split evenly; host IO goes into the extra
+        # trailing column declared in the header.
         line = ("%10.2f %6.2f %6.2f %6.2f %6.2f %6.2f " % (
-            start, 0.0, 0.0, 0.0, io_wall, 0.0)
+            start, 0.0, 0.0, 0.0, 0.0, 0.0)
             + " ".join("%6.2f" % (step_wall / n) for _ in self.sp_cols)
-            + "\n")
+            + " %6.2f\n" % io_wall)
         self.timing_file.write(line)
         self.timing_file.flush()
         self.firststep = False
+        self.step_index += 1
 
     def step(self):
         cfg = self.cfg
         self._open_timing()
         if self.coupled is not None:
             return self._step_fused()
-        writecdf = not (cfg.restart and self.firststep)
+        writecdf = (not (cfg.restart and self.firststep)
+                    and self.step_index % max(cfg.write_every, 1) == 0)
         t = self.gcm.get_model_time()
         dt = self.gcm.get_timestep()
 
@@ -658,6 +704,7 @@ class SPRunner:
             inst.invalidate_cache()
         profiles = self._les_profiles()
         self.prev_profiles = profiles
+        self._check_finite_profiles(profiles)
         tw_les += time.time()
 
         tw_tend = -time.time()
@@ -674,11 +721,9 @@ class SPRunner:
             + " ".join("%6.2f" % (tw_les / n) for _ in self.sp_cols) + "\n")
         self.timing_file.write(line)
         self.timing_file.flush()
-        if not self.sp_cols:
-            self.writer.sync()
-        else:
-            self.writer.sync()
+        self.writer.sync()
         self.firststep = False
+        self.step_index += 1
 
     def run(self, nsteps):
         for s in range(nsteps):
@@ -738,6 +783,7 @@ class SPRunner:
             self.fleet.evolve_to(self.fleet.time + iter_len, forcing)
             profiles = self._les_profiles()
             self.prev_profiles = profiles
+            self._check_finite_profiles(profiles)
             for i, col in enumerate(self.sp_cols):
                 self.writer.write_column(
                     col, u=profiles["U"][i], v=profiles["V"][i],

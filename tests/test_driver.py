@@ -301,3 +301,38 @@ class TestChunkedEvolve:
             thl = np.asarray(ds.groups[str(col)].variables["thl"][:])
             assert thl.shape == (2, 24) and np.all(np.isfinite(thl))
         ds.close()
+
+
+class TestFailureDetection:
+    def test_check_finite_profiles_raises_and_names_column(self, tmp_path):
+        cfg = SPConfig(output_dir=str(tmp_path / "out"), check_finite=True)
+        r = SPRunner(cfg)
+        r.sp_cols = [3, 17]
+        prof = {"THL": np.array([[300.0, 301.0], [300.0, np.nan]])}
+        with pytest.raises(FloatingPointError) as ei:
+            r._check_finite_profiles(prof)
+        assert "17" in str(ei.value)
+
+    def test_check_finite_disabled(self, tmp_path):
+        cfg = SPConfig(output_dir=str(tmp_path / "out"), check_finite=False)
+        r = SPRunner(cfg)
+        r.sp_cols = [3]
+        r._check_finite_profiles({"THL": np.array([[np.nan]])})  # no raise
+
+
+class TestWriteEvery:
+    def test_write_every_two(self, tmp_path):
+        """write_every=2: spifs.nc records every other coupled step."""
+        cfg = SPConfig(gcm_type="dummy", les_type="dummy",
+                       output_dir=str(tmp_path / "out"), write_every=2)
+        geoms = [geometry.Point((45.0, 10.0))]
+        r = SPRunner(cfg, geoms)
+        r.initialize()
+        r.run(4)
+        r.finalize(save_restart=False)
+        ds = spifs.open_reader(cfg.output_path)
+        times = np.asarray(ds.variables["Time"][:])
+        # initialize() writes the first record and step 0 (firststep)
+        # shares it; step 2 adds one; steps 1/3 skip -> 2 records
+        assert len(times) == 2
+        ds.close()

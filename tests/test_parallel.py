@@ -40,7 +40,7 @@ def _tiny_fleet(n):
 def _evolve(g, phys, mesh):
     def f(st, frc):
         st = shd.constrain_fleet(st, mesh)
-        st, nsub = jax.vmap(
+        st, nsub, _ = jax.vmap(
             lambda s, fr: lstep.evolve_adaptive(g, phys, s, fr,
                                                 s.time + 20.0, dt_max=5.0))(
             st, frc)
