@@ -66,6 +66,12 @@ class SPConfig:
     les_evolve_chunks: int = 1         # device programs per LES evolve; >1
                                        # bounds single-execution device time
                                        # for very large fleets
+    les_schedule: str = "auto"         # "auto" | "serial" | "batched":
+                                       # per-device instance pacing — serial
+                                       # runs each instance's adaptive loop
+                                       # independently (no straggler
+                                       # coupling); batched = one vmapped
+                                       # loop paced by the slowest instance
     les_cfl: float = 0.7               # CFL target when deriving the substep
     les_advection: str = "hybrid52"    # "cd2" | "hybrid52" (5th horiz / 2nd vert)
     les_subgrid: str = "tke"       # "tke" (DALES default) | "smagorinsky"

@@ -30,7 +30,8 @@ class CoupledStepFn:
     def __init__(self, gcm_core, les_grid, les_phys, sp_cols, dt_les,
                  n_substeps, les_forcing_factor=1.0, gcm_forcing_factor=1.0,
                  conservative=False, cplsurf=False, qt_variance=False,
-                 constant_T=False, mesh=None, seed=42, evolve_chunks=1):
+                 constant_T=False, mesh=None, seed=42, evolve_chunks=1,
+                 serial_evolve="auto"):
         self.core = gcm_core
         self.grid = les_grid
         self.phys = les_phys
@@ -45,6 +46,7 @@ class CoupledStepFn:
         self.constant_T = constant_T
         self.mesh = mesh
         self.seed = seed
+        self.serial_evolve = serial_evolve  # "auto" | "serial" | "batched"
         # evolve_chunks > 1 splits one coupled step into pre / k x evolve /
         # post device programs: bounds single-execution device time for
         # very large fleets (preemption/checkpoint latency; some runtimes
@@ -168,12 +170,19 @@ class CoupledStepFn:
         local instances reach t_end. Under plain GSPMD the loop condition
         is a global any(), so every device would pace at the slowest
         instance on the whole mesh — stragglers would serialize the fleet.
+
+        Within one device, big instances run SERIALLY (lax.map), each
+        with its own adaptive loop: device work is sum_i(n_substeps_i)
+        instead of the batched loop's n * max_i(n_substeps_i) — the
+        reference's instances are fully independent (splib.py:554-593).
         """
-        evolve = jax.vmap(
-            lambda s, f: lstep.evolve_adaptive(
-                self.grid, self.phys, s, f, s.time + dt_frac,
-                dt_max=self.dt_les),
-            in_axes=(0, 0))
+        one = lambda s, f: lstep.evolve_adaptive(
+            self.grid, self.phys, s, f, s.time + dt_frac,
+            dt_max=self.dt_les)
+        serial = (lstep.serial_fleet_default(self.grid)
+                  if self.serial_evolve == "auto"
+                  else self.serial_evolve == "serial")
+        evolve = lambda st, f: lstep.map_fleet(one, st, f, serial)
         mesh = self.mesh
         les_state = shd.constrain_fleet(les_state, mesh)
         if mesh is not None and not shd.spatial_axes(mesh):

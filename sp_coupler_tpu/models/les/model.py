@@ -26,7 +26,8 @@ class LESFleet:
     """Batched LES instances sharing one grid and physics configuration."""
 
     def __init__(self, grid: lgrid.LESGrid, phys: lstep.LESPhysics,
-                 n_les: int, dt_les: float, seed: int = 42):
+                 n_les: int, dt_les: float, seed: int = 42,
+                 schedule: str = "auto"):
         self.grid = grid
         self.phys = phys
         self.n = n_les
@@ -36,13 +37,18 @@ class LESFleet:
         self.time = 0.0                # fleet clock (s); all instances share it
 
         g, p = grid, phys
+        serial = (lstep.serial_fleet_default(g) if schedule == "auto"
+                  else schedule == "serial")
         self._init_v = jax.jit(jax.vmap(
             lambda u, v, thl, qt, ps, key: lstate.init_state(
                 g, u, v, thl, qt, ps, key)))
-        self._evolve_v = jax.jit(
-            jax.vmap(lambda s, f, t_end: lstep.evolve_adaptive(
-                g, p, s, f, t_end, dt_max=dt_les),
-                in_axes=(0, 0, None)))
+
+        def _evolve(s, f, t_end):
+            one = lambda si, fi: lstep.evolve_adaptive(
+                g, p, si, fi, t_end, dt_max=dt_les)
+            return lstep.map_fleet(one, s, f, serial)
+
+        self._evolve_v = jax.jit(_evolve, static_argnames=())
         self._profiles_v = jax.jit(jax.vmap(
             lambda s: ldiag.slab_profiles(g, s)))
         self._fields_v = jax.jit(jax.vmap(ldiag.fields_3d))

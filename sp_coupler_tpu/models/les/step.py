@@ -281,6 +281,34 @@ def evolve(grid, phys, state: LESState, forcing: LESForcing, dt, n_steps):
     return state
 
 
+# One 64x64x160 instance has enough horizontal parallelism to fill a chip;
+# above this size, pacing instances independently (lax.map) beats lock-step
+# vmap batching, whose single while_loop runs every instance until the
+# SLOWEST one finishes (the reference's instances are fully independent
+# processes, splib.py:554-593)
+SERIAL_MIN_POINTS = 512 * 1024
+
+
+def serial_fleet_default(grid):
+    """Whether per-instance serial pacing is the right default."""
+    return grid.nx * grid.ny * grid.nz >= SERIAL_MIN_POINTS
+
+
+def map_fleet(one, states, forcings, serial):
+    """Apply `one(state, forcing)` across the fleet axis.
+
+    serial=False: vmap — one batched while_loop, every instance does
+    max_i(n_substeps_i) iterations of full-fleet traffic.
+    serial=True: lax.map — each instance runs its own adaptive loop to
+    completion; total device work is sum_i(n_i) single-instance
+    iterations, which is never more and is strictly less whenever CFL
+    heterogeneity makes substep counts uneven.
+    """
+    if serial:
+        return jax.lax.map(lambda sf: one(*sf), (states, forcings))
+    return jax.vmap(one)(states, forcings)
+
+
 def evolve_adaptive(grid, phys, state: LESState, forcing: LESForcing,
                     t_end, dt_max=15.0, cfl=0.7, dt_min=0.2, peclet=0.1):
     """Advance to exactly t_end with CFL-adaptive substeps (jit-safe).

@@ -66,6 +66,104 @@ def _sat_adjust(thl, qt, p, n_iter):
     return T, ql, qs
 
 
+def _fetch(u_hbm, v_hbm, w_hbm, s_hbm, p_hbm,
+           u_sl, v_sl, w_sl, s_sl, p_sl, sems,
+           slot, b, zz, *, bz, nz, start):
+    """Issue (start=True) or reconstruct-and-wait (start=False) the 5 slab
+    copies for block (b, zz) into double-buffer `slot`.
+
+    Sources are UNPADDED [.., nz(+1), ..] arrays; the z-halo is fetched by
+    clamping the source range and edge-replicating the missing rows in
+    VMEM afterwards (_edge_fixup) — this removes the 7 full-field
+    jnp.pad round-trips through HBM that the padded layout cost."""
+    nblk = nz // bz
+    HW = bz + 2 * ZP
+
+    def copies(gl, nu, nw, dst):
+        # gl = zz*bz - ZP with bz, ZP multiples of 8: provably sublane-
+        # tile aligned, but Mosaic needs the hint for the dynamic start
+        if not isinstance(gl, int):
+            gl = pl.multiple_of(gl, ZP)
+        return [
+            pltpu.make_async_copy(u_hbm.at[b, pl.ds(gl, nu)],
+                                  u_sl.at[slot, pl.ds(dst, nu)],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[b, pl.ds(gl, nu)],
+                                  v_sl.at[slot, pl.ds(dst, nu)],
+                                  sems.at[slot, 1]),
+            pltpu.make_async_copy(w_hbm.at[b, pl.ds(gl, nw)],
+                                  w_sl.at[slot, pl.ds(dst, nw)],
+                                  sems.at[slot, 2]),
+            pltpu.make_async_copy(s_hbm.at[b, :, pl.ds(gl, nu)],
+                                  s_sl.at[slot, :, pl.ds(dst, nu)],
+                                  sems.at[slot, 3]),
+            pltpu.make_async_copy(p_hbm.at[b, pl.ds(gl, nu)],
+                                  p_sl.at[slot, pl.ds(dst, nu)],
+                                  sems.at[slot, 4]),
+        ]
+
+    def act(cps):
+        for cp in cps:
+            if start:
+                cp.start()
+            else:
+                cp.wait()
+
+    # w's top face (index nz) is never fetched: HBM slice sizes must be
+    # 8-row aligned, and that face is identically zero anyway (rigid lid —
+    # a state invariant maintained by the projection). _edge_fixup zeroes
+    # the rows at and above it.
+    if nblk == 1:
+        act(copies(0, nz, nz, ZP))
+        return
+
+    @pl.when(zz == 0)
+    def _():
+        act(copies(0, bz + ZP, bz + ZP, ZP))
+
+    @pl.when(jnp.logical_and(zz > 0, zz < nblk - 1))
+    def _():
+        act(copies(zz * bz - ZP, HW, HW, 0))
+
+    @pl.when(zz == nblk - 1)
+    def _():
+        act(copies(zz * bz - ZP, bz + ZP, bz + ZP, 0))
+
+
+def _edge_fixup(u_sl, v_sl, w_sl, s_sl, p_sl, slot, zz, *, bz, nz):
+    """Edge-replicate the halo rows the clamped fetch could not read
+    (pad-mode="edge" semantics of the former padded layout)."""
+    nblk = nz // bz
+    first = (zz == 0) if nblk > 1 else True
+    last = (zz == nblk - 1) if nblk > 1 else True
+    P = u_sl.shape[-1]
+    S = s_sl.shape[1]
+    LN = p_sl.shape[-1]
+
+    @pl.when(first)
+    def _():
+        for ref in (u_sl, v_sl, w_sl):
+            ref[slot, 0:ZP] = jnp.broadcast_to(ref[slot, ZP:ZP + 1],
+                                               (ZP, P))
+        s_sl[slot, :, 0:ZP] = jnp.broadcast_to(s_sl[slot, :, ZP:ZP + 1],
+                                               (S, ZP, P))
+        p_sl[slot, 0:ZP] = jnp.broadcast_to(p_sl[slot, ZP:ZP + 1], (ZP, LN))
+
+    @pl.when(last)
+    def _():
+        lo = ZP + bz
+        for ref in (u_sl, v_sl):
+            ref[slot, lo:lo + ZP] = jnp.broadcast_to(
+                ref[slot, lo - 1:lo], (ZP, P))
+        # w rows at and above face nz: that face is identically zero
+        # (rigid lid), and edge replication of it is therefore zero too
+        w_sl[slot, lo:lo + ZP] = jnp.zeros((ZP, P), jnp.float32)
+        s_sl[slot, :, lo:lo + ZP] = jnp.broadcast_to(
+            s_sl[slot, :, lo - 1:lo], (S, ZP, P))
+        p_sl[slot, lo:lo + ZP] = jnp.broadcast_to(
+            p_sl[slot, lo - 1:lo], (ZP, LN))
+
+
 def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
             ub_ref, vb_ref, wb_ref, sb_ref,
             un_ref, vn_ref, wn_ref, sn_ref,
@@ -77,39 +175,45 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     b = pl.program_id(0)
     zi = pl.program_id(1)
     z0 = zi * bz
+    nblk = nz // bz
+    n_inst = pl.num_programs(0)
+    lin = b * nblk + zi
+    slot = jax.lax.rem(lin, 2)
 
-    cps = [
-        pltpu.make_async_copy(up_hbm.at[b, pl.ds(z0, bz + 2 * ZP)], u_sl,
-                              sems.at[0]),
-        pltpu.make_async_copy(vp_hbm.at[b, pl.ds(z0, bz + 2 * ZP)], v_sl,
-                              sems.at[1]),
-        pltpu.make_async_copy(wp_hbm.at[b, pl.ds(z0, bz + 2 * ZP)], w_sl,
-                              sems.at[2]),
-        pltpu.make_async_copy(sp_hbm.at[b, :, pl.ds(z0, bz + 2 * ZP)], s_sl,
-                              sems.at[3]),
-        pltpu.make_async_copy(prof_hbm.at[b, pl.ds(z0, bz + 2 * ZP)], p_sl,
-                              sems.at[4]),
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    fetch = functools.partial(
+        _fetch, up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
+        u_sl, v_sl, w_sl, s_sl, p_sl, sems, bz=bz, nz=nz)
+
+    # double-buffered pipeline over the sequential (b, zi) grid: program
+    # `lin` waits on the fetch started by program lin-1 (or by itself for
+    # lin==0) while the fetch for lin+1 is already in flight
+    @pl.when(lin == 0)
+    def _():
+        fetch(slot, b, zi, start=True)
+    nxt_b = jnp.where(zi + 1 < nblk, b, b + 1)
+    nxt_z = jnp.where(zi + 1 < nblk, zi + 1, 0)
+
+    @pl.when(lin + 1 < n_inst * nblk)
+    def _():
+        fetch(1 - slot, nxt_b, nxt_z, start=True)
+    fetch(slot, b, zi, start=False)
+    _edge_fixup(u_sl, v_sl, w_sl, s_sl, p_sl, slot, zi, bz=bz, nz=nz)
 
     ct = ZP
-    dtv = p_sl[ct, P_SDT]
-    wthl_s = p_sl[ct, P_SWTHL]
-    wqt_s = p_sl[ct, P_SWQT]
-    z0m_s = p_sl[ct, P_SZ0M]
+    dtv = p_sl[slot, ct, P_SDT]
+    wthl_s = p_sl[slot, ct, P_SWTHL]
+    wqt_s = p_sl[slot, ct, P_SWQT]
+    z0m_s = p_sl[slot, ct, P_SZ0M]
 
     # --- window helpers: rows [ct+lo, ct+bz+hi) of a [*, P] slab ---
     def W(ref, lo=0, hi=0):
-        return ref[ct + lo:ct + bz + hi]
+        return ref[slot, ct + lo:ct + bz + hi]
 
     def WS(si, lo=0, hi=0):                    # scalar stack member
-        return s_sl[si, ct + lo:ct + bz + hi]
+        return s_sl[slot, si, ct + lo:ct + bz + hi]
 
     def prof(lane, lo=0, hi=0):                # [bz+hi-lo, 1] profile column
-        return p_sl[ct + lo:ct + bz + hi, lane:lane + 1]
+        return p_sl[slot, ct + lo:ct + bz + hi, lane:lane + 1]
 
     def giota(lo=0, hi=0):                     # global z index per row
         L = bz + hi - lo
@@ -208,8 +312,8 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     w_k1 = W(w_sl, 1, 1)
 
     # ---- surface drag (plane g=0; rows of this slab are masked) ----
-    u0p = u_sl[ct:ct + 1]                   # local plane z0 [1, P]
-    v0p = v_sl[ct:ct + 1]
+    u0p = u_sl[slot, ct:ct + 1]             # local plane z0 [1, P]
+    v0p = v_sl[slot, ct:ct + 1]
     u1c = 0.5 * (u0p + shx(u0p, -1))
     v1c = 0.5 * (v0p + shy(v0p, -1))
     U1 = jnp.sqrt(u1c ** 2 + v1c ** 2 + 1e-4)
@@ -441,12 +545,13 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
 
 def _vmem_estimate(bz, P, S=4):
     """Kernel VMEM footprint: 7 field slabs with 2*ZP halo rows of
-    scratch, double-buffered in/out blocks for 7 fields, plus the kernel
-    body's live [bz, P] temporaries (shifted copies, fluxes, closure
-    fields). The temporaries dominate: calibrated against the compiler's
-    scoped-vmem report (121.3 MB at bz=16, P=128*128 => ~76 planes)."""
+    scratch (x2: double-buffered across grid steps), double-buffered
+    in/out blocks for 7 fields, plus the kernel body's live [bz, P]
+    temporaries (shifted copies, fluxes, closure fields). The temporaries
+    dominate: calibrated against the compiler's scoped-vmem report
+    (121.3 MB at bz=16, P=128*128 => ~76 planes)."""
     per_plane = P * 4
-    scratch = (3 + S) * (bz + 2 * ZP) * per_plane
+    scratch = 2 * (3 + S) * (bz + 2 * ZP) * per_plane
     io = 2 * 2 * (3 + S) * bz * per_plane
     temps = 76 * bz * per_plane
     return scratch + io + temps
@@ -475,12 +580,8 @@ def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb,
     assert nz % bz == 0 and bz % ZP == 0 and E <= ZP
     assert P % nx == 0 and P % LANE == 0, (P, nx)
     nblk = nz // bz
-    zpad = ((0, 0), (ZP, ZP), (0, 0))
-    up = jnp.pad(u, zpad, mode="edge")
-    vp = jnp.pad(v, zpad, mode="edge")
-    wp = jnp.pad(w, ((0, 0), (ZP, ZP - 1), (0, 0)), mode="edge")
-    spad = jnp.pad(scal, ((0, 0), (0, 0), (ZP, ZP), (0, 0)), mode="edge")
-    profp = jnp.pad(prof, ((0, 0), (ZP, ZP), (0, 0)), mode="edge")
+    # unpadded operands: the kernel fetches clamped slabs and
+    # edge-replicates the z-halo in VMEM (_fetch/_edge_fixup)
 
     kern = functools.partial(
         _kernel, bz=bz, nx=nx, dx=float(dx), dy=float(dy), dz=float(dz),
@@ -510,18 +611,18 @@ def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb,
                    jax.ShapeDtypeStruct((n, S, nz, P), u.dtype),
                    aux_shape, aux_shape, aux_shape],
         scratch_shapes=[
-            pltpu.VMEM((bz + 2 * ZP, P), u.dtype),        # u slab
-            pltpu.VMEM((bz + 2 * ZP, P), u.dtype),        # v slab
-            pltpu.VMEM((bz + 2 * ZP, P), u.dtype),        # w slab
-            pltpu.VMEM((S, bz + 2 * ZP, P), u.dtype),     # scalar slab
-            pltpu.VMEM((bz + 2 * ZP, LANE), u.dtype),     # profile pack
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((2, bz + 2 * ZP, P), u.dtype),     # u slab (x2 buf)
+            pltpu.VMEM((2, bz + 2 * ZP, P), u.dtype),     # v slab
+            pltpu.VMEM((2, bz + 2 * ZP, P), u.dtype),     # w slab
+            pltpu.VMEM((2, S, bz + 2 * ZP, P), u.dtype),  # scalar slab
+            pltpu.VMEM((2, bz + 2 * ZP, LANE), u.dtype),  # profile pack
+            pltpu.SemaphoreType.DMA((2, 5)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(up, vp, wp, spad, profp, ub, vb, wb, sb)
+    )(u, v, w, scal, prof, ub, vb, wb, sb)
 
 
 @functools.lru_cache(maxsize=None)

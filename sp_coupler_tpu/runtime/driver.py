@@ -71,7 +71,8 @@ def create_fleet(cfg: SPConfig, n_les):
             qt_forcing=QT_MODES[cfg.qt_forcing],
             use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
         dt = cfg.les_dt if cfg.les_dt > 0 else 5.0
-        return les_model.LESFleet(grid, phys, n_les, dt, seed=cfg.seed)
+        return les_model.LESFleet(grid, phys, n_les, dt, seed=cfg.seed,
+                                  schedule=cfg.les_schedule)
     if cfg.les_type == "dummy":
         return dummy_mod.DummyLESFleet(n_les)
     if cfg.les_type in ("ncfile", "spifsnc_les"):
@@ -208,7 +209,8 @@ class SPRunner:
                 constant_T=cfg.variability_nudge_constant_T,
                 mesh=self.mesh,
                 seed=cfg.seed,
-                evolve_chunks=cfg.les_evolve_chunks)
+                evolve_chunks=cfg.les_evolve_chunks,
+                serial_evolve=cfg.les_schedule)
 
         if not cfg.restart:
             # first half step so U,V,T are initialized (splib.py:183-189)

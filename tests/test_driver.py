@@ -101,8 +101,13 @@ class TestDummyLoop:
         ds.close()
 
     def test_existing_output_dir_rejected(self, tmp_path):
+        """Non-empty output dirs are refused (clobber guard,
+        splib.py:101-102); an EMPTY dir is fine — a sibling process of a
+        multi-controller run may have created it."""
         cfg = dummy_cfg(tmp_path)
         os.makedirs(cfg.output_dir)
+        with open(os.path.join(cfg.output_dir, "old.nc"), "w") as f:
+            f.write("x")
         r = SPRunner(cfg, [geometry.Point((45.0, 10.0))])
         with pytest.raises(RuntimeError):
             r.initialize()
