@@ -77,7 +77,8 @@ def main():
     gcm_state, les_state, prof, rain, d0 = jax.block_until_ready(out)
     warm = time.time() - t0
     print("bench: warmup %.0fs, %s substeps" % (
-        warm, np.asarray(d0["n_substeps"])), file=sys.stderr, flush=True)
+        warm, np.asarray(step_fn.unpack_diag(np.asarray(d0))["n_substeps"])),
+        file=sys.stderr, flush=True)
 
     n_timed = 3
     total_sub = 0
@@ -85,7 +86,8 @@ def main():
     for s in range(2, n_timed + 2):
         out = step_fn(gcm_state, les_state, prof, rain, s, first=False)
         gcm_state, les_state, prof, rain, diag = jax.block_until_ready(out)
-        total_sub += int(np.sum(np.asarray(diag["n_substeps"])))
+        total_sub += int(np.sum(
+            step_fn.unpack_diag(np.asarray(diag))["n_substeps"]))
     elapsed = time.time() - t0
 
     thl = np.asarray(prof["THL"])
@@ -121,6 +123,7 @@ def phase_breakdown(grid, phys, les_state):
     through the divergence, 12 einsum passes, the refinement operator and
     the gradient update (~89 MB/instance)."""
     import time as _time
+    import jax
     import jax.numpy as jnp
     from sp_coupler_tpu.models.les import step as lstep, poisson
     from sp_coupler_tpu.models.les.state import LESForcing

@@ -70,7 +70,8 @@ def main():
     for s in range(2, n_timed + 2):
         out = step_fn(gcm_state, les_state, prof, rain, s, first=False)
         gcm_state, les_state, prof, rain, d = jax.block_until_ready(out)
-        total_sub += int(np.sum(np.asarray(d["n_substeps"])))
+        total_sub += int(np.sum(
+            step_fn.unpack_diag(np.asarray(d))["n_substeps"]))
     el = time.time() - t0
     thl = np.asarray(prof["THL"])
     assert np.all(np.isfinite(thl))

@@ -53,6 +53,8 @@ class SPConfig:
     gcm_truncation: int = 21           # triangular truncation (T21, T42, ...)
     gcm_levels: int = 19               # hybrid sigma-p levels
     gcm_dt: float = 900.0              # GCM time step (s) (oifs-input/fort.4:52)
+    gcm_hybrid: bool = False           # hybrid sigma-p A/B levels
+                                       # (OpenIFS-like; False = pure sigma)
     gcm_start_date: str = "2000-01-01T00:00:00"
 
     # --- LES core (dales-input/namoptions.001 equivalents) ---
@@ -66,6 +68,15 @@ class SPConfig:
     les_evolve_chunks: int = 1         # device programs per LES evolve; >1
                                        # bounds single-execution device time
                                        # for very large fleets
+    les_cross: bool = False            # per-instance cross-section netCDFs
+                                       # (DALES &NAMCROSSSECTION lcross;
+                                       # written to ODIR/les-work-<col>/)
+    les_cross_heights: tuple = (2, 40, 80)  # DALES 1-based crossheight
+    les_cross_dtav: float = 60.0       # s statistics cadence (dtav); the
+                                       # state is only observable at
+                                       # coupled-step boundaries, so the
+                                       # effective cadence is
+                                       # max(dtav, gcm_dt)
     les_schedule: str = "auto"         # "auto" | "serial" | "batched":
                                        # per-device instance pacing — serial
                                        # runs each instance's adaptive loop

@@ -230,9 +230,34 @@ class CoupledStepFn:
         # process holds a fully-addressable copy (the host-side spifs
         # writer fetches them with np.asarray, driver._write_fused_diag).
         # XLA turns this into one tiny all-gather over the les axis.
+        # The diag bundle is PACKED into one flat f32 vector: the host
+        # fetches it with a single device->host transfer instead of ~50
+        # per-leaf round trips (each ~25 ms over a tunneled TPU link).
+        diag = self._pack_diag(diag)
         prof_les, rain, diag = shd.replicated(
             (prof_les, rain, diag), self.mesh)
         return gcm_state, les_state, prof_les, rain, diag
+
+    def _pack_diag(self, diag):
+        """Flatten the diag pytree into one f32 vector; record the spec."""
+        leaves, treedef = jax.tree.flatten(diag)
+        self._diag_spec = (treedef,
+                           [l.shape for l in leaves],
+                           [l.dtype for l in leaves])
+        return jnp.concatenate(
+            [l.astype(jnp.float32).ravel() for l in leaves])
+
+    def unpack_diag(self, flat):
+        """Host-side inverse of _pack_diag (flat: numpy f32 vector)."""
+        import numpy as np
+        treedef, shapes, dtypes = self._diag_spec
+        out, off = [], 0
+        for shp, dt in zip(shapes, dtypes):
+            n = int(np.prod(shp)) if shp else 1
+            out.append(np.asarray(flat[off:off + n]).reshape(shp)
+                       .astype(dt))
+            off += n
+        return jax.tree.unflatten(treedef, out)
 
     def _step(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
               first, skip_half=False):

@@ -63,6 +63,22 @@ class GridFields(NamedTuple):
     div: jnp.ndarray
 
 
+def _hybrid_coeffs_grid(vc, lnps):
+    """Per-gridpoint hybrid coefficients (None in sigma mode).
+
+    Returns dict with [L, nlat, nlon] entries: dpt (layer thickness per
+    unit ps), lnr, alpha, wp (= Bbar*ps/pf, the surface-following weight
+    of grad(ln p) at full levels; == 1 in sigma coordinates)."""
+    from ... import constants as c
+    if not vc.hybrid:
+        return None
+    ps = c.pref0 * jnp.exp(lnps)                       # [nlat, nlon]
+    hc = vc.hybrid_coeffs(ps)
+    Bbar = 0.5 * (vc.B[1:] + vc.B[:-1])
+    wp = Bbar[:, None, None] * ps[None] / hc["pf"]
+    return dict(dpt=hc["dpt"], lnr=hc["lnr"], alpha=hc["alpha"], wp=wp)
+
+
 def to_grid(sht, vc, s: SpectralState) -> GridFields:
     u, v = sht.uv_from_vort_div(s.vort, s.div)
     T = sht.synthesize(s.T)
@@ -74,18 +90,32 @@ def to_grid(sht, vc, s: SpectralState) -> GridFields:
     vort = sht.synthesize(s.vort)
     div = sht.synthesize(s.div)
     dpx, dpy = sht.grad(s.lnps)
-    C = div + u * dpx[None] + v * dpy[None]
-    omega_p = (u * dpx[None] + v * dpy[None]
-               - jnp.einsum("kj,j...->k...", vc.Pmat, C, precision=_PREC))
+    vgrad = u * dpx[None] + v * dpy[None]
+    hc = _hybrid_coeffs_grid(vc, lnps)
+    if hc is None:
+        C = div + vgrad
+        omega_p = (vgrad - jnp.einsum("kj,j...->k...", vc.Pmat, C,
+                                      precision=_PREC))
+    else:
+        # (omega/p)_k = wp_k v.grad(lnps)
+        #   - (1/dpt_k)[lnr_k sum_{j<k} Ct_j + alpha_k Ct_k],
+        # Ct_j = dpt_j D_j + dB_j v.grad(lnps)  (per-unit-ps mass div);
+        # reduces exactly to the Pmat form on sigma levels
+        Ct = hc["dpt"] * div + vc.dB[:, None, None] * vgrad
+        csum_ex = jnp.cumsum(Ct, axis=0) - Ct
+        omega_p = (hc["wp"] * vgrad
+                   - (hc["lnr"] * csum_ex + hc["alpha"] * Ct) / hc["dpt"])
     return GridFields(u=u, v=v, T=T, q=q, ql=ql, qi=qi, a=a, lnps=lnps,
                       omega_p=omega_p, vort=vort, div=div)
 
 
-def _vert_advect(vc, sdot_half, X):
-    """(sigma_dot dX/dsigma)_k with sdot_half [L+1, ...] (zero at both ends)."""
+def _vert_advect(vc, sdot_half, X, dpt=None):
+    """(eta_dot dX/d-eta)_k with sdot_half [L+1, ...] in per-unit-ps
+    pressure units (zero at both ends); dpt = actual layer thickness per
+    unit ps (defaults to the sigma constants)."""
     dX_up = X - jnp.concatenate([X[:1], X[:-1]], 0)      # X_k - X_{k-1}
     dX_dn = jnp.concatenate([X[1:], X[-1:]], 0) - X      # X_{k+1} - X_k
-    ds = vc.ds[:, None, None]
+    ds = vc.ds[:, None, None] if dpt is None else dpt
     return 0.5 / ds * (sdot_half[1:] * dX_dn + sdot_half[:-1] * dX_up)
 
 
@@ -96,36 +126,62 @@ def tendencies(sht, vc, s: SpectralState, f_coriolis_grid):
     """
     g = to_grid(sht, vc, s)
     dpx, dpy = sht.grad(s.lnps)
-    C = g.div + g.u * dpx[None] + g.v * dpy[None]        # [L, nlat, nlon]
-    ds = vc.ds[:, None, None]
-    # surface pressure tendency and sigma-dot at half levels
-    dpi_dt = -jnp.sum(C * ds, axis=0)                    # [nlat, nlon]
-    csum = jnp.cumsum(C * ds, axis=0)                    # sum_{j<=k}
+    vgrad = g.u * dpx[None] + g.v * dpy[None]
+    hc = _hybrid_coeffs_grid(vc, g.lnps)
+    if hc is None:
+        ds = vc.ds[:, None, None]
+        Ct = (g.div + vgrad) * ds           # per-unit-ps mass divergence
+        dpt = None
+        Bh = vc.sh                           # sigma: B == sigma
+        wp = 1.0
+    else:
+        dpt = hc["dpt"]
+        Ct = g.div * dpt + vc.dB[:, None, None] * vgrad
+        Bh = vc.B
+        wp = hc["wp"]
+    # surface pressure tendency and eta-dot (pressure units per unit ps)
+    dpi_dt = -jnp.sum(Ct, axis=0)                        # [nlat, nlon]
+    csum = jnp.cumsum(Ct, axis=0)                        # sum_{j<=k}
     total = csum[-1:]
-    # half levels 0..L: sdot[k] at sigma = sh[k]
-    sdot_int = vc.sh[1:-1, None, None] * total - csum[:-1]
+    # half levels 0..L: (eta_dot dp/d-eta)/ps at half level k
+    sdot_int = Bh[1:-1, None, None] * total - csum[:-1]
     zero = jnp.zeros_like(sdot_int[:1])
     sdot = jnp.concatenate([zero, sdot_int, zero], axis=0)  # [L+1]
 
     Tp = g.T - vc.tref                                   # T perturbation
     abs_vort = g.vort + f_coriolis_grid[None]
 
-    Fu = (abs_vort * g.v - _vert_advect(vc, sdot, g.u)
-          - c.rd * Tp * dpx[None])
-    Fv = (-abs_vort * g.u - _vert_advect(vc, sdot, g.v)
-          - c.rd * Tp * dpy[None])
+    Fu = (abs_vort * g.v - _vert_advect(vc, sdot, g.u, dpt)
+          - c.rd * Tp * wp * dpx[None])
+    Fv = (-abs_vort * g.u - _vert_advect(vc, sdot, g.v, dpt)
+          - c.rd * Tp * wp * dpy[None])
     N_vort, divF = sht.vort_div_from_uv(Fu, Fv)
 
     E = 0.5 * (g.u ** 2 + g.v ** 2)
-    phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(s.T.dtype), s.T,
-                          precision=_PREC)
-    lin = (sht.analyze(E).astype(s.T.dtype) + phi_spec
-           + c.rd * vc.tref * s.lnps[None])
+    if hc is None:
+        # sigma: geopotential is linear in T -> the reference-state G
+        # matrix IS the exact operator (spectral-space matmul)
+        phi_nl = jnp.einsum("kj,j...->k...", vc.G.astype(s.T.dtype), s.T,
+                            precision=_PREC)
+        lin = (sht.analyze(E).astype(s.T.dtype) + phi_nl
+               + c.rd * vc.tref * s.lnps[None])
+    else:
+        # hybrid: Phi depends nonlinearly on ps through lnr/alpha —
+        # compute it pointwise in grid space and analyze; the
+        # semi-implicit correction still uses the reference-state G
+        # (delta form handles the difference explicitly)
+        T_last = jnp.moveaxis(g.T, 0, -1)                # [lat, lon, L]
+        phi_grid = vc.geopotential_full(
+            T_last, lnr=jnp.moveaxis(hc["lnr"], 0, -1),
+            alpha=jnp.moveaxis(hc["alpha"], 0, -1))
+        phi_grid = jnp.moveaxis(phi_grid, -1, 0)
+        lin = (sht.analyze(E + phi_grid).astype(s.T.dtype)
+               + c.rd * vc.tref * s.lnps[None])
     N_div = divF - sht.laplacian[..., None] * lin
 
     # thermodynamic equation: flux-form horizontal advection of T'
     _, divTflux = sht.vort_div_from_uv(g.u * Tp, g.v * Tp)
-    N_T_grid = (Tp * g.div - _vert_advect(vc, sdot, g.T)
+    N_T_grid = (Tp * g.div - _vert_advect(vc, sdot, g.T, dpt)
                 + c.kappa * g.T * g.omega_p)
     N_T = -divTflux + sht.analyze(N_T_grid).astype(s.T.dtype)
 
@@ -133,7 +189,7 @@ def tendencies(sht, vc, s: SpectralState, f_coriolis_grid):
 
     def scalar_adv(x_spec, x_grid):
         _, divflux = sht.vort_div_from_uv(g.u * x_grid, g.v * x_grid)
-        rest = x_grid * g.div - _vert_advect(vc, sdot, x_grid)
+        rest = x_grid * g.div - _vert_advect(vc, sdot, x_grid, dpt)
         return -divflux + sht.analyze(rest).astype(x_spec.dtype)
 
     N_q = scalar_adv(s.q, g.q)

@@ -53,6 +53,8 @@ class GCMConfig:
     start_date: str = "2000-01-01T00:00:00"
     diffusion_tau: float = 4.0 * 3600.0
     robert_eps: float = 0.05
+    hybrid: bool = False    # hybrid sigma-p A/B levels (OpenIFS-like);
+                            # False = pure sigma (round-1 behavior)
     phys: physics.PhysicsParams = physics.PhysicsParams()
 
 
@@ -70,7 +72,8 @@ class GCMCore:
         self.cfg = cfg
         self.sht = spharm.SpectralTransform(cfg.trunc, mesh=mesh,
                                             axis=shard_axis)
-        self.vc = vertical.VerticalCoords(cfg.nlev, tref=cfg.tref)
+        self.vc = vertical.VerticalCoords(cfg.nlev, tref=cfg.tref,
+                                          hybrid=cfg.hybrid)
         # warm the implicit-inverse caches (host-side numpy inversions)
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
         self.vc.implicit_inverse(cfg.dt / 4.0, cfg.trunc)
@@ -90,8 +93,9 @@ class GCMCore:
     def _initial_state(self, seed=0) -> GCMState:
         sht, vc, cfg = self.sht, self.vc, self.cfg
         L, M, N = cfg.nlev, sht.M, sht.N
-        ps = c.pref0
-        p_full = vc.sf[:, None, None] * ps
+        ps = jnp.asarray(c.pref0)
+        _, p_full = vc.pressures(ps)
+        p_full = p_full[:, None, None]
         Teq = physics.equilibrium_temperature(p_full, self.lat_rad,
                                               cfg.phys)
         T_grid = jnp.broadcast_to(Teq, (L, self.nlat, self.nlon))
@@ -126,7 +130,8 @@ class GCMCore:
 
     def _surface(self, grid):
         ps = c.pref0 * jnp.exp(grid.lnps)
-        z1 = c.rd * grid.T[-1] / c.grav * (1.0 - self.vc.sf[-1]) * 2.0
+        _, pf = self.vc.pressures(ps)
+        z1 = c.rd * grid.T[-1] / c.grav * (1.0 - pf[-1] / ps) * 2.0
         z1 = jnp.maximum(z1, 10.0)
         return physics.surface_fluxes(grid.u[-1], grid.v[-1], grid.T[-1],
                                       grid.q[-1], ps, z1, self.lat_rad,
@@ -134,10 +139,10 @@ class GCMCore:
 
     def _layer_depths(self, grid):
         """dz of each layer [L, nlat, nlon] from hydrostatics."""
-        ps = c.pref0 * jnp.exp(grid.lnps)[None]
-        dp = self.vc.ds[:, None, None] * ps
-        rho = (self.vc.sf[:, None, None] * ps) / (c.rd * jnp.maximum(
-            grid.T, 100.0))
+        ps = c.pref0 * jnp.exp(grid.lnps)
+        ph, pf = self.vc.pressures(ps)
+        dp = ph[1:] - ph[:-1]
+        rho = pf / (c.rd * jnp.maximum(grid.T, 100.0))
         return dp / (rho * c.grav)
 
     # ---- phases ------------------------------------------------------------
@@ -159,7 +164,7 @@ class GCMCore:
         grid = dycore.to_grid(sht, vc, new)
         sfc = self._surface(grid)
         # physics adjustments on the provisional state
-        p_full = self.vc.sf[:, None, None] * c.pref0 * jnp.exp(grid.lnps)[None]
+        _, p_full = self.vc.pressures(c.pref0 * jnp.exp(grid.lnps))
         dT_rad = physics.radiation(grid.T, p_full, self.lat_rad, vc.sf,
                                    cfg.phys)
         dz = self._layer_depths(grid)
@@ -183,7 +188,7 @@ class GCMCore:
         """
         cfg = self.cfg
         g = state.grid
-        p_full = self.vc.sf[:, None, None] * c.pref0 * jnp.exp(g.lnps)[None]
+        _, p_full = self.vc.pressures(c.pref0 * jnp.exp(g.lnps))
         T, q, ql, qi, a = physics.cloud_scheme(
             g.T, jnp.maximum(g.q, 0.0), jnp.maximum(g.ql, 0.0),
             jnp.maximum(g.qi, 0.0), jnp.clip(g.a, 0.0, 1.0),
@@ -249,11 +254,17 @@ class GCMCore:
         i = col_idx % self.nlon
         take = lambda f: f[:, j, i].T                     # [n, L]
         ps = c.pref0 * jnp.exp(g.lnps[j, i])              # [n]
-        pf = ps[:, None] * self.vc.sf[None, :]
-        ph = ps[:, None] * self.vc.sh[None, :]
+        ph_l, pf_l = self.vc.pressures(ps)                # [L+1, n], [L, n]
+        pf, ph = pf_l.T, ph_l.T
         Tcols = take(g.T)
-        zg_full = self.vc.geopotential_full(Tcols)        # [n, L]
-        zg_half = self.vc.geopotential_half(Tcols)        # [n, L+1]
+        if self.vc.hybrid:
+            hc = self.vc.hybrid_coeffs(ps)
+            zg_full = self.vc.geopotential_full(
+                Tcols, lnr=hc["lnr"].T, alpha=hc["alpha"].T)
+            zg_half = self.vc.geopotential_half(Tcols, lnr=hc["lnr"].T)
+        else:
+            zg_full = self.vc.geopotential_full(Tcols)    # [n, L]
+            zg_half = self.vc.geopotential_half(Tcols)    # [n, L+1]
         return {
             "U": take(g.u), "V": take(g.v), "T": Tcols,
             "SH": take(g.q), "QL": take(g.ql), "QI": take(g.qi),

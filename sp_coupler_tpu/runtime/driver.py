@@ -44,7 +44,8 @@ def create_gcm(cfg: SPConfig, mesh=None):
         from ..models.gcm import model as gcm_model
         gcfg = gcm_model.GCMConfig(trunc=cfg.gcm_truncation,
                                    nlev=cfg.gcm_levels, dt=cfg.gcm_dt,
-                                   start_date=cfg.gcm_start_date)
+                                   start_date=cfg.gcm_start_date,
+                                   hybrid=cfg.gcm_hybrid)
         # --gcmprocs: latitude-band sharding of the spectral transforms
         # over the WHOLE mesh (GCM and LES phases never overlap in time)
         shard_axis = None
@@ -189,6 +190,24 @@ class SPRunner:
                 self.writer.add_output_column(col, lats[col], lons[col])
 
         self.rain_last = np.zeros(max(n, 1))
+
+        # per-instance LES cross-section output (DALES writes surf_xy/
+        # cross-section netCDFs per work dir, reference README.md:108-111)
+        self.crossio = None
+        self._cross_next = -float("inf")
+        if (cfg.les_cross and isinstance(self.fleet, les_model.LESFleet)
+                and n > 0):
+            if jax.process_count() > 1:
+                log.info("les_cross disabled: per-instance 3-D state is "
+                         "not host-addressable in a multi-controller run")
+            else:
+                from ..io import crossio as crossio_mod
+                self.crossio = crossio_mod.FleetCrossIO(
+                    cfg.output_dir, self.fleet.grid, self.sp_cols,
+                    heights=tuple(h - 1 for h in cfg.les_cross_heights))
+                log.info("per-instance cross-section output: les-work-*/"
+                         "cross.nc every %.0f s", max(cfg.les_cross_dtav,
+                                                      cfg.gcm_dt))
 
         # fused fast path: native GCM + native LES -> one jitted program per
         # coupled step (coupling/coupler.py); the host only writes spifs.nc
@@ -367,22 +386,30 @@ class SPRunner:
             self._last_surf = surf
         return conv
 
-    def _write_output_columns(self):
+    def _output_columns_data(self):
+        """Fetch the non-SP monitoring columns' record (host numpy)."""
         if not self.output_cols:
-            return
+            return None
         prof = self._gcm_profiles(self.output_cols)
         conv = jax.vmap(lambda p: convert.convert_profiles(p, self._les_zf))(
             {k: jnp.asarray(v, jnp.float32) for k, v in prof.items()})
+        data = []
         for i, col in enumerate(self.output_cols):
-            self.writer.write_column(
-                col,
+            data.append((col, dict(
                 U=prof["U"][i], V=prof["V"][i], T=prof["T"][i],
                 SH=prof["SH"][i], QL=prof["QL"][i], QI=prof["QI"][i],
                 Pf=prof["Pfull"][i], Ph=prof["Phalf"][i][1:],
                 Zf=np.asarray(conv.Zf[i]), Zh=np.asarray(conv.Zh[i])[1:],
                 Psurf=prof["Phalf"][i][-1], Tv=np.asarray(conv.Tv[i]),
                 THL=np.asarray(conv.THL[i]), QT=np.asarray(conv.QT[i]),
-                A=prof["A"][i])
+                A=prof["A"][i])))
+        return data
+
+    def _write_output_columns(self):
+        data = self._output_columns_data()
+        if data:
+            for col, kwargs in data:
+                self.writer.write_column(col, **kwargs)
 
     def _les_profiles(self):
         prof = self.fleet.get_profiles()
@@ -545,9 +572,12 @@ class SPRunner:
                 "non-finite LES state in column(s) %s" % bad)
 
     def _write_fused_diag(self, diag):
-        """Write one fused-step diagnostics bundle to spifs.nc."""
+        """Write one fused-step diagnostics bundle to spifs.nc.
+
+        `diag` is the PACKED flat device vector from the fused step (one
+        device->host transfer); it is unpacked here."""
         import jax as _jax
-        d = _jax.tree.map(np.asarray, diag)
+        d = self.coupled.unpack_diag(np.asarray(diag))
         if self.cfg.check_finite and not np.all(
                 np.isfinite(d["les"]["THL"])):
             bad = [self.sp_cols[i] for i in np.where(
@@ -597,6 +627,35 @@ class SPRunner:
             self.writer.write_column(col, **out)
         self.rain_last = np.asarray(d["rain"])
 
+    def _write_cross(self, t):
+        """Per-instance cross-section record at the dtav cadence; the
+        serialization runs on the native writer's worker thread, off the
+        step loop."""
+        if self.crossio is None or t + 1e-6 < self._cross_next:
+            return
+        fields = self.fleet.get_fields()
+        self.crossio.write(self.fleet.state, fields["QL"], t)
+        self._cross_next = t + max(self.cfg.les_cross_dtav, 1.0)
+
+    def _flush_pending(self):
+        """Drain the previous step's spifs record (write-behind).
+
+        Called right after the next step's device program is dispatched,
+        so the diag fetch + netCDF serialization overlap device compute
+        (reference P4: sync_root runs while the LES fleet evolves,
+        splib.py:573-574)."""
+        p = getattr(self, "_pending_record", None)
+        if p is None:
+            return
+        self._pending_record = None
+        if p["time"] is not None:
+            self.writer.update_time(p["time"])
+        self._write_fused_diag(p["diag"])
+        if p["outdata"]:
+            for col, kwargs in p["outdata"]:
+                self.writer.write_column(col, **kwargs)
+        self.writer.sync()
+
     def _step_fused(self):
         """One coupled step through the fused jitted program."""
         cfg = self.cfg
@@ -605,8 +664,6 @@ class SPRunner:
         t = self.gcm.get_model_time()
         dt = self.gcm.get_timestep()
         start = time.time()
-        if writecdf and not self.firststep:
-            self.writer.update_time(t + cfg.les_spinup + dt)
         skip = bool(getattr(self, "_half_step_done", False))
         self._half_step_done = False
         prev_prof = getattr(self, "_fused_prof", None)
@@ -618,7 +675,7 @@ class SPRunner:
         out = self.coupled(self.gcm.state, self.fleet.state, prev_prof,
                            np.asarray(self.rain_last, np.float32),
                            self.gcm.step_count, first=self.gcm._first,
-                           skip_half=skip)
+                           skip_half=skip)  # async dispatch
         gcm_state, les_state, prof, rain, diag = out
         self.gcm.state = gcm_state
         self.gcm.step_count += 1
@@ -626,16 +683,28 @@ class SPRunner:
         self.fleet.state = les_state
         self.fleet.time = float(t + dt)
         self._fused_prof = prof
-        step_wall = time.time() - start
-        io_wall = -time.time()
-        if writecdf:
-            self._write_fused_diag(diag)
-            self._write_output_columns()
         self.prev_profiles = None  # host copies are stale; refetch if needed
         for inst in self.instances:
             inst.invalidate_cache()
-        self.writer.sync()
+        # ---- write-behind: drain the PREVIOUS record while the device
+        # executes this step
+        io_wall = -time.time()
+        self._flush_pending()
         io_wall += time.time()
+        # ---- stash this step's record (flushed on the next step or at
+        # finalize); output-column profiles are fetched now — they read
+        # this step's post-step GCM state
+        if writecdf:
+            self._pending_record = dict(
+                time=(None if self.firststep
+                      else t + cfg.les_spinup + dt),
+                diag=diag,
+                outdata=self._output_columns_data())
+        # sync this step for an honest per-step wall clock (rain is a
+        # tiny replicated vector; fetching it forces completion)
+        np.asarray(rain)
+        self._write_cross(t + dt)
+        step_wall = time.time() - start - max(io_wall, 0.0)
         n = max(len(self.sp_cols), 1)
         # fused path: the reference's phase columns (gcm1/gather/forcings/
         # tendencies/gcm2) all live inside ONE device program and are not
@@ -707,6 +776,8 @@ class SPRunner:
         profiles = self._les_profiles()
         self.prev_profiles = profiles
         self._check_finite_profiles(profiles)
+        if isinstance(self.fleet, les_model.LESFleet):
+            self._write_cross(t + dt)
         tw_les += time.time()
 
         tw_tend = -time.time()
@@ -800,6 +871,15 @@ class SPRunner:
     # -------------------------------------------------------------- shutdown
 
     def finalize(self, save_restart=True):
+        try:
+            self._flush_pending()   # drain the write-behind record
+        except Exception as e:
+            log.error("pending spifs record flush failed: %s", e)
+        if getattr(self, "crossio", None) is not None:
+            try:
+                self.crossio.close()
+            except Exception as e:
+                log.error("cross-section writer close failed: %s", e)
         if save_restart and self.fleet is not None:
             from ..io import restart as restart_io
             try:

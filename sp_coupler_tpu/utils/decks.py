@@ -118,6 +118,17 @@ def dales_overrides(inputdir, exp="001"):
     sub = nml.get("NAMSUBGRID", {})
     if sub.get("lsmagorinsky"):
         out["les_subgrid"] = "smagorinsky"
+    # per-instance cross-section statistics (reference README.md:108-111)
+    cs = nml.get("NAMCROSSSECTION", {})
+    if cs.get("lcross"):
+        out["les_cross"] = True
+        ch = cs.get("crossheight")
+        if ch is not None:
+            if not isinstance(ch, (list, tuple)):
+                ch = [ch]
+            out["les_cross_heights"] = tuple(int(x) for x in ch)
+        if "dtav" in cs:
+            out["les_cross_dtav"] = float(cs["dtav"])
     # vertical grid spacing from the initial-profile heights
     prof = read_dales_prof(inputdir, exp)
     if prof is not None:

@@ -67,6 +67,7 @@ def run(out_path, n_steps=3, trunc=10, nlev=8, les_n=16, les_nz=24,
     for s in range(n_steps):
         res = step_fn(gcm_state, les_state, prof, rain, s, first=(s == 0))
         gcm_state, les_state, prof, rain, diag = jax.block_until_ready(res)
+        diag = step_fn.unpack_diag(np.asarray(diag))
         # slab-mean profiles: the coupled observables
         out[f"step{s}_prof_THL"] = np.asarray(prof["THL"])
         out[f"step{s}_prof_QT"] = np.asarray(prof["QT"])

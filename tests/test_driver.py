@@ -308,6 +308,33 @@ class TestChunkedEvolve:
         ds.close()
 
 
+class TestCrossOutput:
+    def test_fused_run_writes_cross_sections(self, tmp_path):
+        """les_cross=True (NAMCROSSSECTION lcross) -> per-instance
+        les-work-<col>/cross.nc via the native async writer, at the dtav
+        cadence capped by the coupled step (README.md:108-111)."""
+        from sp_coupler_tpu.io import spnc
+        cfg = SPConfig(gcm_type="sptpu", les_type="sptpu",
+                       gcm_truncation=10, gcm_levels=8, gcm_dt=600.0,
+                       les_itot=16, les_jtot=16, les_ktot=24,
+                       les_xsize=3200.0, les_ysize=3200.0, les_dz=100.0,
+                       les_dt=5.0, max_num_les=1, les_cross=True,
+                       les_cross_heights=(2, 10), les_cross_dtav=60.0,
+                       output_dir=str(tmp_path / "out"))
+        r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        r.run(2)
+        r.finalize(save_restart=False)
+        col = r.sp_cols[0]
+        path = tmp_path / "out" / ("les-work-%d" % col) / "cross.nc"
+        assert path.exists()
+        data, units = spnc.read_cdf(str(path))
+        assert data["thlxy001"].shape[1:] == (16, 16)  # 0-based level 1
+        assert data["thlxy001"].shape[0] >= 2          # one per step
+        assert np.all(np.isfinite(data["lwp"]))
+        assert units["lwp"] == "kg/m^2"
+
+
 class TestFailureDetection:
     def test_check_finite_profiles_raises_and_names_column(self, tmp_path):
         cfg = SPConfig(output_dir=str(tmp_path / "out"), check_finite=True)

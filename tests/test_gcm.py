@@ -50,6 +50,85 @@ class TestVertical:
         assert np.allclose(Minv[0], np.eye(8), atol=1e-6)
 
 
+class TestHybridLevels:
+    """Hybrid sigma-p A/B coordinate (OpenIFS-like; VERDICT #6)."""
+
+    def test_ab_reference_state_matches_sigma(self):
+        """At ps = pref the hybrid level pressures coincide with the
+        sigma set, so the semi-implicit linearization is unchanged."""
+        vc_s = vertical.VerticalCoords(19)
+        vc_h = vertical.VerticalCoords(19, hybrid=True)
+        ph_s, pf_s = vc_s.pressures(jnp.asarray(c.pref0))
+        ph_h, pf_h = vc_h.pressures(jnp.asarray(c.pref0))
+        np.testing.assert_allclose(np.asarray(ph_h), np.asarray(ph_s),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(vc_h.G), np.asarray(vc_s.G),
+                                   rtol=1e-5)
+
+    def test_pressure_monotone_and_top_pure_pressure(self):
+        """Low surface pressure: hybrid top levels stay at fixed
+        pressure (B ~ 0) while sigma levels follow ps down."""
+        vc = vertical.VerticalCoords(19, hybrid=True)
+        for ps in (7.0e4, 1.0e5, 1.04e5):
+            ph, pf = vc.pressures(jnp.asarray(ps))
+            ph = np.asarray(ph)
+            assert ph[0] == 0.0 and np.isclose(ph[-1], ps)
+            assert np.all(np.diff(ph) > 0)
+        ph_lo = np.asarray(vc.pressures(jnp.asarray(7.0e4))[0])
+        ph_hi = np.asarray(vc.pressures(jnp.asarray(1.0e5))[0])
+        # upper-atmosphere half levels barely move with ps (pure p),
+        # near-surface ones follow it
+        k = 19 // 3
+        assert (ph_hi[k] - ph_lo[k]) / ph_hi[k] < 0.12
+        assert (ph_hi[-2] - ph_lo[-2]) / ph_hi[-2] > 0.25
+
+    def test_hybrid_coeffs_reduce_to_sigma_constants(self):
+        vc = vertical.VerticalCoords(12, hybrid=True)
+        hc = vc.hybrid_coeffs(jnp.asarray([c.pref0]))
+        np.testing.assert_allclose(np.asarray(hc["lnr"])[1:, 0],
+                                   np.asarray(vc.lnr)[1:], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(hc["alpha"])[1:, 0],
+                                   np.asarray(vc.alpha)[1:], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(hc["dpt"])[:, 0],
+                                   np.asarray(vc.ds), rtol=1e-5)
+
+    def test_geopotential_actual_coeffs_match_matrix_on_sigma(self):
+        """The per-column geopotential path equals the G-matrix path
+        when fed the reference-state coefficients."""
+        vc = vertical.VerticalCoords(12)
+        T = jnp.asarray(np.linspace(220.0, 290.0, 12))[None]
+        a = vc.geopotential_full(T)
+        b = vc.geopotential_full(T, lnr=vc.lnr[None], alpha=vc.alpha[None])
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    def test_hybrid_dycore_stable(self):
+        """A hybrid-level GCM runs multiple steps with bounded winds and
+        finite state."""
+        cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0, hybrid=True)
+        m = model.GCMModel(cfg)
+        for s in range(5):
+            m.evolve_model_until_cloud_scheme()
+            m.evolve_model_cloud_scheme()
+            m.evolve_model_from_cloud_scheme()
+        g = m.state.grid
+        assert bool(jnp.all(jnp.isfinite(g.T)))
+        assert float(jnp.max(jnp.abs(g.u))) < 150.0
+        assert float(jnp.max(g.T)) < 350.0 and float(jnp.min(g.T)) > 150.0
+
+    def test_hybrid_column_profiles_consistent(self):
+        cfg = model.GCMConfig(trunc=10, nlev=8, dt=1800.0, hybrid=True)
+        m = model.GCMModel(cfg)
+        m.evolve_model_until_cloud_scheme()
+        m.evolve_model_cloud_scheme()
+        prof = {v: np.asarray(m.get_profile_fields(v, [3, 100]))
+                for v in ("T", "Pfull", "Phalf", "Zgfull", "Zghalf")}
+        assert np.all(np.diff(prof["Phalf"], axis=1) > 0)
+        assert np.all(np.diff(prof["Zghalf"], axis=1) < 0)  # top first
+        # full-level heights between bounding half levels
+        assert np.all(prof["Zgfull"] <= prof["Zghalf"][:, :-1] + 1e-3)
+        assert np.all(prof["Zgfull"] >= prof["Zghalf"][:, 1:] - 1e-3)
+
+
 class TestDycoreStability:
     def test_resting_atmosphere_stays_at_rest(self):
         """Balanced initial state must not generate large spurious winds."""
