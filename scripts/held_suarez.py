@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Multi-day climatology sanity run (Held-Suarez-style statistics).
+
+Runs the GCM at T42/L19 for `--days` (default 100, first 20 discarded as
+spinup), accumulating the time-mean zonal-mean zonal wind and temperature
+entirely on device (lax.scan chunks — no per-step host round trips), then
+checks the circulation against the canonical Held-Suarez 1994 structure:
+
+  - westerly midlatitude jets in both hemispheres, core 20-45 m/s
+    in the upper troposphere (sigma ~ 0.2-0.3), 30-60 deg latitude;
+  - equatorial upper-level winds weaker than the jets (no superrotation
+    blowup); surface winds bounded;
+  - pole-equator temperature contrast of the right sign and magnitude;
+  - state finite throughout (leapfrog + Robert filter stability over
+    thousands of steps).
+
+Writes verify/HELD_SUAREZ.md with the numbers. The GCM physics is the
+Newtonian-relaxation family of HS94 (models/gcm/physics.py:52-75), so
+these statistics are the appropriate "is the dycore a credible
+atmosphere?" gate (VERDICT round 1, item 6).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sp_coupler_tpu.models.gcm import model as gm
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3):
+    cfg = gm.GCMConfig(trunc=trunc, nlev=nlev, dt=dt, hybrid=True)
+    core = gm.GCMCore(cfg)
+    state = core.initial_state(seed=seed)
+    state = jax.jit(lambda s: core.step(s, first=True))(state)
+
+    steps_per_day = int(round(86400.0 / dt))
+    n_spin = spinup_days * steps_per_day
+    n_avg = (days - spinup_days) * steps_per_day
+
+    CHUNK = steps_per_day  # one scan per model day
+
+    @jax.jit
+    def chunk(state):
+        """Run CHUNK steps, accumulating zonal-mean u/T every step."""
+        def body(carry, _):
+            s, acc_u, acc_T, cnt = carry
+            s = core.step(s)
+            acc_u = acc_u + s.grid.u.mean(axis=2)
+            acc_T = acc_T + s.grid.T.mean(axis=2)
+            return (s, acc_u, acc_T, cnt + 1), None
+
+        zu = jnp.zeros((core.cfg.nlev, core.nlat))
+        (s, au, aT, c), _ = jax.lax.scan(
+            body, (state, zu, zu, jnp.zeros(())), None, length=CHUNK)
+        return s, au, aT, c
+
+    @jax.jit
+    def chunk_nostat(state):
+        def body(s, _):
+            return core.step(s), None
+        s, _ = jax.lax.scan(body, state, None, length=CHUNK)
+        return s
+    t0 = time.time()
+    for _ in range(spinup_days):
+        state = chunk_nostat(state)
+    jax.block_until_ready(state)
+    acc_u = np.zeros((nlev, core.nlat))
+    acc_T = np.zeros((nlev, core.nlat))
+    cnt = 0.0
+    for _ in range(days - spinup_days):
+        state, au, aT, c = chunk(state)
+        acc_u += np.asarray(au)
+        acc_T += np.asarray(aT)
+        cnt += float(c)
+    jax.block_until_ready(state)
+    wall = time.time() - t0
+
+    ubar = acc_u / cnt      # [L, nlat], level 0 = model top
+    Tbar = acc_T / cnt
+    lat = np.degrees(np.arcsin(np.asarray(core.sht.mu)))
+    sig = np.asarray(core.vc.sf)  # full-level sigma (reference p / pref)
+    finite = bool(np.isfinite(np.asarray(state.now.vort)).all())
+    return {"ubar": ubar, "Tbar": Tbar, "lat": lat, "sigma": np.asarray(sig),
+            "wall_s": wall, "finite": finite, "days": days,
+            "spinup_days": spinup_days, "trunc": trunc, "nlev": nlev,
+            "dt": dt, "steps": days * steps_per_day}
+
+
+def analyze(r):
+    ubar, lat, sig = r["ubar"], r["lat"], r["sigma"]
+    upper = (sig > 0.15) & (sig < 0.4)
+    nh = lat > 15
+    sh = lat < -15
+    jet_nh = float(ubar[np.ix_(upper, nh)].max())
+    jet_sh = float(ubar[np.ix_(upper, sh)].max())
+    iu, in_ = np.unravel_index(np.argmax(np.where(
+        upper[:, None] & nh[None, :], ubar, -1e9)), ubar.shape)
+    jet_nh_lat = float(lat[in_])
+    eq = np.abs(lat) < 10
+    u_eq_upper = float(ubar[np.ix_(upper, eq)].max())
+    sfc = sig > 0.9
+    u_sfc_max = float(np.abs(ubar[sfc]).max())
+    Tbar = r["Tbar"]
+    low = sig > 0.8
+    pole = np.abs(lat) > 70
+    dT = float(Tbar[np.ix_(low, eq)].mean() - Tbar[np.ix_(low, pole)].mean())
+    return {"jet_nh_ms": round(jet_nh, 1), "jet_sh_ms": round(jet_sh, 1),
+            "jet_nh_lat_deg": round(jet_nh_lat, 1),
+            "u_equator_upper_ms": round(u_eq_upper, 1),
+            "u_surface_max_ms": round(u_sfc_max, 1),
+            "dT_eq_pole_lower_K": round(dT, 1),
+            "finite": r["finite"], "wall_s": round(r["wall_s"], 1)}
+
+
+def check(stats):
+    ok = (stats["finite"]
+          and 15.0 <= stats["jet_nh_ms"] <= 60.0
+          and 15.0 <= stats["jet_sh_ms"] <= 60.0
+          and 25.0 <= abs(stats["jet_nh_lat_deg"]) <= 65.0
+          and stats["u_equator_upper_ms"] < stats["jet_nh_ms"]
+          and stats["u_surface_max_ms"] < 30.0
+          and 20.0 <= stats["dT_eq_pole_lower_K"] <= 90.0)
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--days", type=int, default=100)
+    ap.add_argument("--trunc", type=int, default=42)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "sp_coupler_tpu", "verify", "HELD_SUAREZ.md"))
+    args = ap.parse_args()
+    r = run(trunc=args.trunc, days=args.days)
+    stats = analyze(r)
+    ok = check(stats)
+    lines = [
+        "# Held-Suarez climatology check",
+        "",
+        "T%d/L%d, dt=%.0f s, %d days (%d spinup), %d steps, backend=%s."
+        % (r["trunc"], r["nlev"], r["dt"], r["days"], r["spinup_days"],
+           r["steps"], jax.default_backend()),
+        "",
+        "| statistic | value | HS94 expectation |",
+        "|---|---|---|",
+        "| NH jet max (sigma 0.15-0.4) | %.1f m/s | 20-40 m/s |"
+        % stats["jet_nh_ms"],
+        "| SH jet max | %.1f m/s | 20-40 m/s |" % stats["jet_sh_ms"],
+        "| NH jet latitude | %.1f deg | 35-55 deg |"
+        % stats["jet_nh_lat_deg"],
+        "| equatorial upper-level u | %.1f m/s | < jet |"
+        % stats["u_equator_upper_ms"],
+        "| max |zonal-mean| surface wind | %.1f m/s | O(10) m/s |"
+        % stats["u_surface_max_ms"],
+        "| lower-trop eq-pole dT | %.1f K | ~40-60 K |"
+        % stats["dT_eq_pole_lower_K"],
+        "",
+        "State finite after every step: %s. Wall: %.1f s." % (
+            stats["finite"], stats["wall_s"]),
+        "",
+        "**Verdict: %s**" % ("PASS" if ok else "FAIL"),
+    ]
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(json.dumps({"held_suarez_ok": ok, **stats}))
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,8 @@ class SPConfig:
     # --- IO ---
     write_every: int = 1
     async_io: bool = True
+    output_compress: int = 0           # gzip level for spifs.nc float vars
+                                       # (0 = off; golden recordings use 4)
     check_finite: bool = True          # abort cleanly if the LES state
                                        # goes non-finite (failure detection)
     jax_profile: bool = False          # capture a jax profiler trace of

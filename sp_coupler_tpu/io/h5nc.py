@@ -82,6 +82,12 @@ class _GroupMixin:
             g = g._parent
         raise KeyError("dimension %s not defined" % name)
 
+    def _root(self):
+        g = self
+        while g._parent is not None:
+            g = g._parent
+        return g
+
     def createVariable(self, name, dtype, dims=()):
         shape, maxshape, unl_axes, scales = [], [], [], []
         for ax, dim in enumerate(dims):
@@ -101,8 +107,23 @@ class _GroupMixin:
             d.attrs["NAME"] = np.bytes_(name)  # now a real coordinate variable
             self.variables[name] = var
             return var
+        kw = {}
+        compress = self._root()._compress
+        if unl_axes and shape:
+            # keep appended-record storage tight: small record chunks
+            # instead of h5py's 128-row default (a 100-step profile var
+            # would otherwise allocate 128x40 chunks, 30x the data)
+            chunks = tuple(8 if ax in unl_axes else min(s, 1024)
+                           for ax, s in enumerate(shape))
+            if all(c > 0 for c in chunks):
+                kw["chunks"] = chunks
+        if compress and shape and np.dtype(dtype).kind == "f":
+            kw.update(compression="gzip", compression_opts=int(compress),
+                      shuffle=True)
+            kw.setdefault("chunks", tuple(max(s, 1) for s in shape))
         d = self._h.create_dataset(name, shape=tuple(shape),
-                                   maxshape=tuple(maxshape), dtype=dtype)
+                                   maxshape=tuple(maxshape), dtype=dtype,
+                                   **kw)
         for ax, s in enumerate(scales):
             try:
                 d.dims[ax].attach_scale(s)
@@ -154,10 +175,11 @@ class Group(_GroupMixin):
 class Dataset(_GroupMixin):
     """Root file object; thread-safe sync."""
 
-    def __init__(self, path, mode="w"):
+    def __init__(self, path, mode="w", compress=0):
         self._h5file = h5py.File(path, {"w": "w", "a": "a", "r": "r"}[mode])
         self._h = self._h5file
         self._parent = None
+        self._compress = int(compress)  # gzip level for float vars; 0 = off
         self.variables = {}
         self.groups = {}
         self._dims = {}

@@ -50,7 +50,7 @@ class SpifsWriter:
     """spifs.nc writer; one instance per run."""
 
     def __init__(self, path, gcm_ktot, les_info=None, start_time=None,
-                 append=False, with_surf_vars=True):
+                 append=False, with_surf_vars=True, compress=0):
         """les_info: dict with x, y, zf coordinate arrays (None: no LES axes)."""
         self.path = path
         self.lock = threading.Lock()
@@ -62,7 +62,7 @@ class SpifsWriter:
             for name, grp in self.ds.groups.items():
                 self.column_groups[int(name)] = grp
             return
-        self.ds = h5nc.Dataset(path, "w")
+        self.ds = h5nc.Dataset(path, "w", compress=compress)
         ds = self.ds
         if les_info is not None:
             ds.createDimension("x", len(les_info["x"]))

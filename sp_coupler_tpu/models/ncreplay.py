@@ -114,8 +114,17 @@ class ReplayGCM(_ReplayBase):
         return True
 
     def _group(self, col):
-        """Recorded columns are addressed by their original grid index."""
-        return self.ds.groups[str(int(col))]
+        """Map a grid index to its recorded group.
+
+        The replay grid IS the list of recorded columns (latitudes/
+        longitudes above), so the driver's column indices are positions
+        into group_names; a recording's original grid index (the group
+        name itself) is also accepted for direct use.
+        """
+        col = int(col)
+        if col < len(self.group_names):
+            return self.ds.groups[self.group_names[col]]
+        return self.ds.groups[str(col)]
 
     def get_profile_fields(self, var, cols):
         out = []
@@ -142,12 +151,17 @@ class ReplayGCM(_ReplayBase):
     def get_profile_field(self, var, col):
         return self.get_profile_fields(var, [col])[0]
 
+    # GCM-side surface getter names -> the recorded (converted) variables
+    # that stand in for them on replay (spio records z0m/z0h post-conversion)
+    _SURF_ALIAS = {"Z0M": "z0m", "Z0H": "z0h"}
+
     def get_surface_field(self, var, cols):
+        name = self._SURF_ALIAS.get(var, var)
         out = []
         for col in cols:
             g = self._group(col)
             s = min(self.step, len(g.variables["T"]) - 1)
-            v = g.variables.get(var)
+            v = g.variables.get(name)
             out.append(float(v[s]) if v is not None else 0.0)
         return np.asarray(out)
 

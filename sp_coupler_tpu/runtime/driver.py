@@ -180,7 +180,8 @@ class SPRunner:
         if self.io_proc:
             self.writer = spifs.SpifsWriter(
                 cfg.output_path, self.gcm.get_ktot(), les_info, start,
-                append=cfg.restart, with_surf_vars=cfg.cplsurf)
+                append=cfg.restart, with_surf_vars=cfg.cplsurf,
+                compress=cfg.output_compress)
         else:
             self.writer = spifs.NullWriter()
         if not cfg.restart:
