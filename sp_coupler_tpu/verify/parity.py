@@ -24,7 +24,7 @@ import numpy as np
 
 
 def run(out_path, n_steps=3, trunc=10, nlev=8, les_n=16, les_nz=24,
-        n_les=2, seed=7):
+        n_les=2, seed=7, les_dz=100.0, les_dx=200.0):
     """Run the standard parity configuration and save per-step summaries."""
     import jax
     import jax.numpy as jnp
@@ -38,8 +38,8 @@ def run(out_path, n_steps=3, trunc=10, nlev=8, les_n=16, les_nz=24,
           file=sys.stderr)
     core = gcm_model.GCMCore(gcm_model.GCMConfig(trunc=trunc, nlev=nlev,
                                                  dt=600.0))
-    grid = lgrid.LESGrid(nx=les_n, ny=les_n, nz=les_nz, dx=200.0, dy=200.0,
-                         dz=100.0)
+    grid = lgrid.LESGrid(nx=les_n, ny=les_n, nz=les_nz, dx=les_dx,
+                         dy=les_dx, dz=les_dz)
     # the PRODUCTION path per backend: fused Pallas stage kernel on TPU,
     # XLA elsewhere — so the comparison covers the real deployed program
     phys = lstep.LESPhysics(use_pallas=jax.default_backend() == "tpu")
@@ -130,7 +130,14 @@ def compare(path_a, path_b, verbose=True):
 
 def main(argv):
     if argv[0] == "run":
-        run(argv[1], *(int(x) for x in argv[2:]))
+        if len(argv) > 2 and argv[2] == "real":
+            # BASELINE case size: T21/L19 GCM, 64x64x160 LES at 200 m /
+            # 25 m spacing (run_T21_sockets.sh + dales-input/namoptions)
+            n_steps = int(argv[3]) if len(argv) > 3 else 10
+            run(argv[1], n_steps=n_steps, trunc=21, nlev=19, les_n=64,
+                les_nz=160, n_les=2, les_dz=25.0)
+        else:
+            run(argv[1], *(int(x) for x in argv[2:]))
         return 0
     if argv[0] == "compare":
         return 0 if compare(argv[1], argv[2]) else 1
