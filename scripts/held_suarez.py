@@ -119,14 +119,30 @@ def analyze(r):
             "finite": r["finite"], "wall_s": round(r["wall_s"], 1)}
 
 
+# Hard PASS gates. Slightly wider than the nominal HS94 bands printed in
+# the report table (jets 20-40 m/s at 35-55 deg): resolution/level-count
+# sensitivity moves the jet core by a few m/s and degrees, but a healthy
+# HS94 circulation never leaves these gates. The report prints both so a
+# run inside the gate but outside the nominal band is visible.
+GATES = {
+    "jet_ms": (18.0, 50.0),
+    "jet_lat_deg": (28.0, 60.0),
+    "u_surface_max_ms": 30.0,
+    "dT_eq_pole_lower_K": (25.0, 80.0),
+}
+
+
 def check(stats):
+    jlo, jhi = GATES["jet_ms"]
+    llo, lhi = GATES["jet_lat_deg"]
+    dlo, dhi = GATES["dT_eq_pole_lower_K"]
     ok = (stats["finite"]
-          and 15.0 <= stats["jet_nh_ms"] <= 60.0
-          and 15.0 <= stats["jet_sh_ms"] <= 60.0
-          and 25.0 <= abs(stats["jet_nh_lat_deg"]) <= 65.0
+          and jlo <= stats["jet_nh_ms"] <= jhi
+          and jlo <= stats["jet_sh_ms"] <= jhi
+          and llo <= abs(stats["jet_nh_lat_deg"]) <= lhi
           and stats["u_equator_upper_ms"] < stats["jet_nh_ms"]
-          and stats["u_surface_max_ms"] < 30.0
-          and 20.0 <= stats["dT_eq_pole_lower_K"] <= 90.0)
+          and stats["u_surface_max_ms"] < GATES["u_surface_max_ms"]
+          and dlo <= stats["dT_eq_pole_lower_K"] <= dhi)
     return ok
 
 
@@ -163,6 +179,12 @@ def main():
         "",
         "State finite after every step: %s. Wall: %.1f s." % (
             stats["finite"], stats["wall_s"]),
+        "",
+        "Hard PASS gates (wider than the nominal HS94 band, see "
+        "scripts/held_suarez.py GATES): jets %.0f-%.0f m/s at %.0f-%.0f "
+        "deg, |surface u| < %.0f m/s, eq-pole dT %.0f-%.0f K." % (
+            *GATES["jet_ms"], *GATES["jet_lat_deg"],
+            GATES["u_surface_max_ms"], *GATES["dT_eq_pole_lower_K"]),
         "",
         "**Verdict: %s**" % ("PASS" if ok else "FAIL"),
     ]

@@ -42,10 +42,21 @@ def main():
     subprocess.run(cmd, check=True, cwd=REPO)
     wall = time.time() - t0
     import jax
+    import numpy as np
+    from sp_coupler_tpu.io import spifs
+    # derive meta from the recording itself so it can never misdocument
+    # the artifact (a hand-maintained meta drifted once already)
+    ds = spifs.open_reader(os.path.join(outdir, "spifs.nc"))
+    times = np.asarray(ds.variables["Time"][:])
+    les_grid = [int(ds.variables[k].shape[0]) for k in ("x", "y", "zf")]
+    columns = sorted(int(g) for g in ds.groups)
+    ds.close()
     meta = {
         "case": "T21 + 16 SP columns (BASELINE config 2)",
-        "steps": steps, "gcm_dt_s": 900.0,
-        "les_grid": [64, 64, 160], "poly_lat_lon": POLY,
+        "steps": len(times) - 1,
+        "gcm_dt_s": float(times[1] - times[0]),
+        "les_grid": les_grid, "poly_lat_lon": POLY,
+        "columns": columns,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "wall_s": round(wall, 1),

@@ -64,7 +64,9 @@ class SPConfig:
     les_xsize: float = 12800.0         # m
     les_ysize: float = 12800.0         # m
     les_dz: float = 25.0               # m (uniform grid; 160 x 25 m = 4 km top)
-    les_nsubsteps: int = 0             # substeps per GCM step; 0 = derive from les_dt/CFL
+    les_nsubsteps: int = 0             # fixed substeps per GCM step
+                                       # (DALES ladaptive=.false. mode);
+                                       # 0 = adaptive CFL/Peclet stepping
     les_evolve_chunks: int = 1         # device programs per LES evolve; >1
                                        # bounds single-execution device time
                                        # for very large fleets
@@ -83,12 +85,17 @@ class SPConfig:
                                        # independently (no straggler
                                        # coupling); batched = one vmapped
                                        # loop paced by the slowest instance
-    les_cfl: float = 0.7               # CFL target when deriving the substep
+    les_cfl: float = 0.7               # adaptive-substep CFL target
+                                       # (namoptions &RUN courant)
+    les_peclet: float = 0.1            # adaptive-substep diffusion limit
+                                       # (namoptions &RUN peclet)
+    les_dt_min: float = 0.2            # adaptive-substep floor (s); dts
+                                       # below it are clamped and counted
+                                       # as instability flags
     les_advection: str = "hybrid52"    # "cd2" | "hybrid52" (5th horiz / 2nd vert)
     les_subgrid: str = "tke"       # "tke" (DALES default) | "smagorinsky"
 
     # --- numerics / hardware ---
-    dtype: str = "float32"
     seed: int = 42                     # reference seeds numpy with 42 (splib.py:181)
     use_pallas: bool = True
     mesh_les: int = 1                  # device-mesh extent of the LES batch axis
@@ -109,7 +116,11 @@ class SPConfig:
 
     # --- IO ---
     write_every: int = 1
-    async_io: bool = True
+    async_io: bool = True              # write-behind spifs IO: the previous
+                                       # step's record is serialized while
+                                       # the device runs the current step
+                                       # (reference P4); False = flush
+                                       # synchronously inside each step
     output_compress: int = 0           # gzip level for spifs.nc float vars
                                        # (0 = off; golden recordings use 4)
     check_finite: bool = True          # abort cleanly if the LES state

@@ -31,13 +31,18 @@ class CoupledStepFn:
                  n_substeps, les_forcing_factor=1.0, gcm_forcing_factor=1.0,
                  conservative=False, cplsurf=False, qt_variance=False,
                  constant_T=False, mesh=None, seed=42, evolve_chunks=1,
-                 serial_evolve="auto"):
+                 serial_evolve="auto", cfl=0.7, peclet=0.1, dt_min=0.2):
         self.core = gcm_core
         self.grid = les_grid
         self.phys = les_phys
         self.cols = jnp.asarray(sp_cols, jnp.int32)
         self.dt_les = float(dt_les)
+        # n_substeps > 0: fixed-substep evolve (DALES ladaptive=.false.);
+        # 0: CFL/Peclet-adaptive stepping with the targets below
         self.n_substeps = int(n_substeps)
+        self.cfl = float(cfl)
+        self.peclet = float(peclet)
+        self.dt_min = float(dt_min)
         self.ffac = les_forcing_factor
         self.gfac = gcm_forcing_factor
         self.conservative = conservative
@@ -176,9 +181,20 @@ class CoupledStepFn:
         instead of the batched loop's n * max_i(n_substeps_i) — the
         reference's instances are fully independent (splib.py:554-593).
         """
-        one = lambda s, f: lstep.evolve_adaptive(
-            self.grid, self.phys, s, f, s.time + dt_frac,
-            dt_max=self.dt_les)
+        if self.n_substeps > 0:
+            nn = max(1, int(round(self.n_substeps * dt_frac
+                                  / self.core.cfg.dt)))
+
+            def one(s, f):
+                s = lstep.evolve(self.grid, self.phys, s, f,
+                                 dt_frac / nn, nn)
+                z = jnp.zeros((), jnp.int32)
+                return s, z + nn, z
+        else:
+            one = lambda s, f: lstep.evolve_adaptive(
+                self.grid, self.phys, s, f, s.time + dt_frac,
+                dt_max=self.dt_les, cfl=self.cfl, peclet=self.peclet,
+                dt_min=self.dt_min)
         serial = (lstep.serial_fleet_default(self.grid)
                   if self.serial_evolve == "auto"
                   else self.serial_evolve == "serial")

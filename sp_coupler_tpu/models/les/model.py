@@ -27,12 +27,15 @@ class LESFleet:
 
     def __init__(self, grid: lgrid.LESGrid, phys: lstep.LESPhysics,
                  n_les: int, dt_les: float, seed: int = 42,
-                 schedule: str = "auto"):
+                 schedule: str = "auto", cfl: float = 0.7,
+                 peclet: float = 0.1, dt_min: float = 0.2,
+                 n_substeps: int = 0):
         self.grid = grid
         self.phys = phys
         self.n = n_les
         self.dt = float(dt_les)
         self.seed = seed
+        self.n_substeps = int(n_substeps)  # >0: fixed substeps per evolve
         self.state = None              # batched LESState after init_states
         self.time = 0.0                # fleet clock (s); all instances share it
 
@@ -43,12 +46,20 @@ class LESFleet:
             lambda u, v, thl, qt, ps, key: lstate.init_state(
                 g, u, v, thl, qt, ps, key)))
 
-        def _evolve(s, f, t_end):
-            one = lambda si, fi: lstep.evolve_adaptive(
-                g, p, si, fi, t_end, dt_max=dt_les)
+        def _evolve(s, f, t_end, nn):
+            if nn:
+                def one(si, fi):
+                    span = t_end - si.time
+                    si = lstep.evolve(g, p, si, fi, span / nn, nn)
+                    z = jnp.zeros((), jnp.int32)
+                    return si, z + nn, z
+            else:
+                one = lambda si, fi: lstep.evolve_adaptive(
+                    g, p, si, fi, t_end, dt_max=dt_les, cfl=cfl,
+                    peclet=peclet, dt_min=dt_min)
             return lstep.map_fleet(one, s, f, serial)
 
-        self._evolve_v = jax.jit(_evolve, static_argnames=())
+        self._evolve_v = jax.jit(_evolve, static_argnames=("nn",))
         self._profiles_v = jax.jit(jax.vmap(
             lambda s: ldiag.slab_profiles(g, s)))
         self._fields_v = jax.jit(jax.vmap(ldiag.fields_3d))
@@ -113,7 +124,8 @@ class LESFleet:
         if span <= 0:
             return
         self.state, n_sub, n_clamp = self._evolve_v(self.state, forcing,
-                                                    float(t_end))
+                                                    float(t_end),
+                                                    self.n_substeps)
         self.last_substeps = int(n_sub[0])
         self.last_dtmin_clamped = np.asarray(n_clamp)
         if np.any(self.last_dtmin_clamped > 0):

@@ -114,17 +114,20 @@ class ReplayGCM(_ReplayBase):
         return True
 
     def _group(self, col):
-        """Map a grid index to its recorded group.
+        """Map a column POSITION to its recorded group.
 
         The replay grid IS the list of recorded columns (latitudes/
         longitudes above), so the driver's column indices are positions
-        into group_names; a recording's original grid index (the group
-        name itself) is also accepted for direct use.
+        into group_names — matching the reference ncmod semantics
+        (/root/reference/splib/ncmod.py:138-166). Out-of-range positions
+        raise rather than being reinterpreted as original grid indices.
         """
         col = int(col)
-        if col < len(self.group_names):
-            return self.ds.groups[self.group_names[col]]
-        return self.ds.groups[str(col)]
+        if not 0 <= col < len(self.group_names):
+            raise KeyError(
+                "replay column position %d out of range (recording has %d "
+                "columns)" % (col, len(self.group_names)))
+        return self.ds.groups[self.group_names[col]]
 
     def get_profile_fields(self, var, cols):
         out = []

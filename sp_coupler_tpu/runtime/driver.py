@@ -73,7 +73,10 @@ def create_fleet(cfg: SPConfig, n_les):
             use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
         dt = cfg.les_dt if cfg.les_dt > 0 else 5.0
         return les_model.LESFleet(grid, phys, n_les, dt, seed=cfg.seed,
-                                  schedule=cfg.les_schedule)
+                                  schedule=cfg.les_schedule,
+                                  cfl=cfg.les_cfl, peclet=cfg.les_peclet,
+                                  dt_min=cfg.les_dt_min,
+                                  n_substeps=cfg.les_nsubsteps)
     if cfg.les_type == "dummy":
         return dummy_mod.DummyLESFleet(n_les)
     if cfg.les_type in ("ncfile", "spifsnc_les"):
@@ -220,7 +223,9 @@ class SPRunner:
             self.coupled = CoupledStepFn(
                 self.gcm.core, self.fleet.grid, self.fleet.phys,
                 np.asarray(self.sp_cols, np.int32), dt_les=dt_max,
-                n_substeps=0,
+                n_substeps=cfg.les_nsubsteps,
+                cfl=cfg.les_cfl, peclet=cfg.les_peclet,
+                dt_min=cfg.les_dt_min,
                 les_forcing_factor=cfg.les_forcing_factor,
                 gcm_forcing_factor=cfg.gcm_forcing_factor,
                 conservative=cfg.conservative_coarsening,
@@ -701,6 +706,12 @@ class SPRunner:
                       else t + cfg.les_spinup + dt),
                 diag=diag,
                 outdata=self._output_columns_data())
+            if not cfg.async_io:
+                # synchronous IO mode: serialize this step's record now,
+                # inside the step (write-behind disabled)
+                io_wall -= time.time()
+                self._flush_pending()
+                io_wall += time.time()
         # sync this step for an honest per-step wall clock (rain is a
         # tiny replicated vector; fetching it forces completion)
         np.asarray(rain)

@@ -109,6 +109,14 @@ def dales_overrides(inputdir, exp="001"):
     run = nml.get("RUN", {})
     if "courant" in run:
         out["les_cfl"] = float(run["courant"])
+    if "peclet" in run:
+        out["les_peclet"] = float(run["peclet"])
+    if "dtmax" in run:
+        out["les_dt"] = float(run["dtmax"])
+    if "ladaptive" in run and not run["ladaptive"]:
+        # fixed-substep mode: substeps per GCM step derived by the driver
+        # from les_dt (dtmax) when les_nsubsteps is not set explicitly
+        out["_ladaptive"] = False
     if "trestart" in run:
         out["_trestart"] = float(run["trestart"])
     dyn = nml.get("DYNAMICS", {})
@@ -196,4 +204,9 @@ def apply_decks(cfg):
     if trestart and cfg.restart_steps == 0:
         dt = over.get("gcm_dt", cfg.gcm_dt)
         over["restart_steps"] = max(1, int(round(trestart / dt)))
+    if over.pop("_ladaptive", True) is False and cfg.les_nsubsteps == 0:
+        # DALES fixed-dt mode: substep count from dtmax over the GCM step
+        dt_gcm = over.get("gcm_dt", cfg.gcm_dt)
+        dt_les = over.get("les_dt", cfg.les_dt if cfg.les_dt > 0 else 15.0)
+        over["les_nsubsteps"] = max(1, int(round(dt_gcm / dt_les)))
     return cfg.replace(**over) if over else cfg

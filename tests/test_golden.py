@@ -57,6 +57,30 @@ class TestGoldenStructure:
         finally:
             ds.close()
 
+    def test_meta_polygon_selects_recorded_columns(self):
+        """The meta polygon must select EXACTLY the recorded grid columns.
+
+        Guards against the meta drifting away from the artifact (a stale
+        superset polygon once passed the replay silently)."""
+        with open(os.path.join(GOLDEN, "golden_meta.json")) as f:
+            meta = json.load(f)
+        from sp_coupler_tpu.models.gcm import spharm
+        nlon, nlat = spharm.GRID_FOR_TRUNC[21]
+        mu, _ = spharm.gaussian_latitudes(nlat)
+        lats = np.degrees(np.arcsin(mu))
+        lons = np.arange(nlon) * 360.0 / nlon
+        points = [(lon, lat) for lat in lats for lon in lons]
+        lat_lon = [float(v) for v in meta["poly_lat_lon"]]
+        poly = geometry.Polygon(geometry.parse_lat_lons(lat_lon))
+        sel = geometry.get_mask_indices(points, [poly])
+        ds = spifs.open_reader(GOLDEN_NC)
+        try:
+            recorded = sorted(int(g) for g in ds.groups)
+        finally:
+            ds.close()
+        assert sel == recorded
+        assert meta.get("columns") == recorded
+
     def test_physical_ranges(self):
         ds = spifs.open_reader(GOLDEN_NC)
         try:

@@ -295,3 +295,45 @@ class TestTKE:
         assert bool(jnp.all(jnp.isfinite(s2.thl)))
         # e12 untouched by the smagorinsky branch
         np.testing.assert_allclose(np.asarray(s2.e12), np.asarray(s.e12))
+
+
+class TestFleetTimestepKnobs:
+    """les_nsubsteps / les_cfl / les_peclet / les_dt_min are wired
+    (VERDICT r2: these SPConfig knobs must be read, not silent no-ops)."""
+
+    def _fleet(self, **kw):
+        from sp_coupler_tpu.models.les import model as les_model
+        g = small_grid(nx=8, ny=8, nz=16)
+        fl = les_model.LESFleet(g, lstep.LESPhysics(), 2, **kw)
+        u, v, thl, qt = rico_profiles(g.nz, g.dz)
+        tile = lambda x: np.tile(np.asarray(x), (2, 1))
+        fl.init_states(tile(u), tile(v), tile(thl), tile(qt),
+                       np.full((2,), 1e5))
+        return fl
+
+    def _forcing(self, nz):
+        f = LESForcing.zeros(nz)
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (2,) + x.shape), f)
+
+    def test_fixed_substeps(self):
+        fl = self._fleet(dt_les=10.0, n_substeps=7)
+        fl.evolve_to(70.0, self._forcing(16))
+        assert fl.last_substeps == 7
+        assert float(np.asarray(fl.state.time)[0]) == pytest.approx(70.0)
+
+    def test_cfl_target_changes_substep_count(self):
+        n = {}
+        for cfl in (0.7, 0.2):
+            fl = self._fleet(dt_les=1e3, cfl=cfl)
+            fl.evolve_to(300.0, self._forcing(16))
+            n[cfl] = fl.last_substeps
+        assert n[0.2] > n[0.7]
+
+    def test_peclet_target_changes_substep_count(self):
+        n = {}
+        for pe in (0.1, 0.005):
+            fl = self._fleet(dt_les=1e3, peclet=pe)
+            fl.evolve_to(300.0, self._forcing(16))
+            n[pe] = fl.last_substeps
+        assert n[0.005] >= n[0.1]
