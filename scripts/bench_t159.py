@@ -3,6 +3,7 @@
 (64x64x160 each) on a single chip — full coupled steps, reports step
 wall-clock and LES gridpoint-updates/s."""
 
+import json
 import sys
 import time
 
@@ -11,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def main(schedule="auto"):
     from sp_coupler_tpu.models.gcm import model as gcm_model
     from sp_coupler_tpu.models.les import (grid as lgrid, state as lstate,
                                            step as lstep, diag as ldiag)
@@ -53,7 +54,9 @@ def main():
     # chunk the evolve: bounds one device execution to ~70 substeps
     # (some runtimes deadline multi-minute single programs)
     step_fn = CoupledStepFn(core, grid, phys, cols, dt_les=15.0,
-                            n_substeps=0, evolve_chunks=8)
+                            n_substeps=0, evolve_chunks=8,
+                            serial_evolve=schedule)
+    print("schedule:", schedule, flush=True)
     prof = jax.vmap(lambda s: ldiag.slab_profiles(grid, s))(les_state)
     rain = jnp.zeros(n_les)
 
@@ -79,8 +82,14 @@ def main():
     print("T159 + %d LES: %.2f s/coupled-step, %d substeps, %.3e "
           "LES updates/s/chip" % (n_les, el / n_timed, total_sub, ups),
           flush=True)
+    print(json.dumps({
+        "bench": "t159_64les", "schedule": schedule,
+        "backend": jax.default_backend(),
+        "step_s": round(el / n_timed, 2), "substeps": total_sub,
+        "les_updates_per_s": ups}), flush=True)
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sched = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    sys.exit(main(sched))

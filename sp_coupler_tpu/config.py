@@ -55,6 +55,11 @@ class SPConfig:
     gcm_dt: float = 900.0              # GCM time step (s) (oifs-input/fort.4:52)
     gcm_hybrid: bool = False           # hybrid sigma-p A/B levels
                                        # (OpenIFS-like; False = pure sigma)
+    gcm_advection: str = "auto"        # "auto" | "eulerian" | "sl":
+                                       # auto = semi-Lagrangian at T63 and
+                                       # above (where the Eulerian CFL
+                                       # would force tiny steps), Eulerian
+                                       # leapfrog below
     gcm_start_date: str = "2000-01-01T00:00:00"
 
     # --- LES core (dales-input/namoptions.001 equivalents) ---

@@ -55,6 +55,11 @@ class GCMConfig:
     robert_eps: float = 0.05
     hybrid: bool = False    # hybrid sigma-p A/B levels (OpenIFS-like);
                             # False = pure sigma (round-1 behavior)
+    advection: str = "eulerian"  # "eulerian" (flux-form leapfrog; stable
+                                 # up to the advective CFL) | "sl" (3TL
+                                 # semi-Lagrangian, semilag.py — the
+                                 # OpenIFS-lineage large-timestep scheme
+                                 # required at high truncation)
     phys: physics.PhysicsParams = physics.PhysicsParams()
 
 
@@ -74,9 +79,14 @@ class GCMCore:
                                             axis=shard_axis)
         self.vc = vertical.VerticalCoords(cfg.nlev, tref=cfg.tref,
                                           hybrid=cfg.hybrid)
+        self.slg = None
+        if cfg.advection == "sl":
+            from . import semilag
+            self.slg = semilag.SLGrid(self.sht)
         # warm the implicit-inverse caches (host-side numpy inversions)
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
         self.vc.implicit_inverse(cfg.dt / 4.0, cfg.trunc)
+        self.vc.implicit_inverse(cfg.dt, cfg.trunc)
         mu = np.asarray(self.sht.mu)
         self.lat_rad = jnp.asarray(np.arcsin(mu), jnp.float32)[:, None]
         self.fcor = jnp.asarray(2 * c.omega * mu, jnp.float32)[:, None]
@@ -156,10 +166,15 @@ class GCMCore:
         regular leapfrog window (2 dt).
         """
         cfg, sht, vc = self.cfg, self.sht, self.vc
-        N, _ = dycore.tendencies(sht, vc, state.now, self.fcor)
         dt2 = cfg.dt if first else 2.0 * cfg.dt
-        new = dycore.semi_implicit_step(sht, vc, state.now, state.prev,
-                                        N, dt2)
+        if self.slg is not None:
+            from . import semilag
+            new = semilag.sl_step(sht, vc, self.slg, state.now,
+                                  state.prev, dt2)
+        else:
+            N, _ = dycore.tendencies(sht, vc, state.now, self.fcor)
+            new = dycore.semi_implicit_step(sht, vc, state.now, state.prev,
+                                            N, dt2)
         new = dycore.hyperdiffuse(sht, new, cfg.dt, cfg.diffusion_tau)
         grid = dycore.to_grid(sht, vc, new)
         sfc = self._surface(grid)

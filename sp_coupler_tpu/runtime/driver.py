@@ -42,10 +42,16 @@ QT_MODES = {"sp": lstep.QT_FORCING_GLOBAL,
 def create_gcm(cfg: SPConfig, mesh=None):
     if cfg.gcm_type in ("sptpu", "oifs"):
         from ..models.gcm import model as gcm_model
+        adv = cfg.gcm_advection
+        if adv == "auto":
+            # Eulerian leapfrog is CFL-limited to ~dx/u_max; at T63+ the
+            # canonical OpenIFS step lengths need semi-Lagrangian advection
+            adv = "sl" if cfg.gcm_truncation >= 63 else "eulerian"
         gcfg = gcm_model.GCMConfig(trunc=cfg.gcm_truncation,
                                    nlev=cfg.gcm_levels, dt=cfg.gcm_dt,
                                    start_date=cfg.gcm_start_date,
-                                   hybrid=cfg.gcm_hybrid)
+                                   hybrid=cfg.gcm_hybrid,
+                                   advection=adv)
         # --gcmprocs: latitude-band sharding of the spectral transforms
         # over the WHOLE mesh (GCM and LES phases never overlap in time)
         shard_axis = None
