@@ -126,3 +126,16 @@ class TestGCMSpectralSharding:
         np.testing.assert_allclose(np.asarray(out.grid.T),
                                    np.asarray(ref.grid.T),
                                    atol=5e-3, rtol=1e-4)
+
+
+class TestScalingEfficiency:
+    def test_fixed_work_efficiency_structural(self):
+        """BASELINE metric 3 harness: with fixed total work, growing the
+        mesh must not add visible sharding/collective overhead (>= 0.8;
+        virtual CPU devices share host cores, so this is the structural
+        bound the CI environment can measure — scalebench.measure)."""
+        from sp_coupler_tpu.runtime import scalebench
+        r = scalebench.measure(sizes=[1, 4], per_dev=1, nx=16, ny=16,
+                               nz=24, substeps=4, reps=2, verbose=False,
+                               mode="fixed")
+        assert r["efficiency"]["4"] >= 0.8, r
