@@ -71,29 +71,80 @@ class CrossSectionWriter:
         self.w.close()
 
 
-class FleetCrossIO:
-    """Cross-section writers for every instance of a fleet."""
+def _gather_local(x, positions):
+    """{pos: full per-instance ndarray} assembled from ADDRESSABLE shards.
 
-    def __init__(self, out_dir, grid, sp_cols, heights=(2, 40, 80)):
-        self.writers = []
-        for col in sp_cols:
+    Multi-controller runs hold globally-sharded fleet arrays; a process
+    can only read the shards on its own devices. `positions` must be
+    instances whose devices all belong to this process (see
+    parallel.mesh.local_les_positions) — spatial (x, y) sub-shards of a
+    locally-owned instance are stitched back into the full plane here.
+    """
+    shape = x.shape
+    out = {p: np.zeros(shape[1:], np.float32) for p in positions}
+    for sh in x.addressable_shards:
+        sl0 = sh.index[0] if sh.index else slice(0, shape[0])
+        i0 = sl0.start or 0
+        i1 = sl0.stop if sl0.stop is not None else shape[0]
+        data = np.asarray(sh.data)
+        for p in range(i0, i1):
+            if p in out:
+                out[p][tuple(sh.index[1:])] = data[p - i0]
+    return out
+
+
+class _Inst:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+class FleetCrossIO:
+    """Cross-section writers for the fleet.
+
+    ``positions``: instance positions this process owns (multi-controller
+    runs pass the local subset — every worker writes its own instances'
+    cross.nc, matching the reference where each DALES instance writes its
+    own files from its own ranks, README.md:108-111). Default: all.
+    ``sp_cols`` must align with ``positions``.
+    """
+
+    def __init__(self, out_dir, grid, sp_cols, heights=(2, 40, 80),
+                 positions=None):
+        self.positions = (list(positions) if positions is not None
+                          else list(range(len(sp_cols))))
+        assert len(self.positions) == len(sp_cols)
+        self.writers = {}
+        for pos, col in zip(self.positions, sp_cols):
             d = os.path.join(out_dir, "les-work-%d" % col)
             os.makedirs(d, exist_ok=True)
-            self.writers.append(CrossSectionWriter(
-                os.path.join(d, "cross.nc"), grid, heights))
+            self.writers[pos] = CrossSectionWriter(
+                os.path.join(d, "cross.nc"), grid, heights)
+
+    _STATE_FIELDS = ("thl", "qt", "w", "qr", "rhobf")
 
     def write(self, fleet_state, ql_3d, t):
         import jax
-        state_np = jax.tree.map(np.asarray, fleet_state)
-        ql_np = np.asarray(ql_3d)
-        for i, w in enumerate(self.writers):
-            inst = jax.tree.map(lambda x: x[i], state_np)
-            w.write(inst, ql_np[i], t)
+        if jax.process_count() == 1:
+            state_np = jax.tree.map(np.asarray, fleet_state)
+            ql_np = np.asarray(ql_3d)
+            for pos, w in self.writers.items():
+                inst = jax.tree.map(lambda x: x[pos], state_np)
+                w.write(inst, ql_np[pos], t)
+            return
+        # multi-controller: stitch this process's shards per instance
+        parts = {name: _gather_local(getattr(fleet_state, name),
+                                     self.positions)
+                 for name in self._STATE_FIELDS}
+        ql = _gather_local(ql_3d, self.positions)
+        for pos, w in self.writers.items():
+            inst = _Inst(**{name: parts[name][pos]
+                            for name in self._STATE_FIELDS})
+            w.write(inst, ql[pos], t)
 
     def flush(self):
-        for w in self.writers:
+        for w in self.writers.values():
             w.flush()
 
     def close(self):
-        for w in self.writers:
+        for w in self.writers.values():
             w.close()

@@ -200,7 +200,7 @@ def tendencies(grid, phys, state, forcing, dt):
 
 
 def substep(grid, phys, state: LESState, forcing: LESForcing, dt,
-            solver=None):
+            solver=None, skip_projection=False):
     """One full LES time step: RK3 (Wicker-Skamarock) + projection.
 
     Returns (state, kmax) with kmax the final stage's max eddy diffusivity,
@@ -213,6 +213,10 @@ def substep(grid, phys, state: LESState, forcing: LESForcing, dt,
     (ops/lesstage_pallas) that reads each prognostic field once from HBM;
     the split tendencies() path below is the reference implementation the
     kernel is tested against (tests/test_ops.py) and the off-TPU path.
+
+    ``skip_projection`` (bench-only, bench.py phase accounting): drop the
+    pressure solve so the projection's IN-CONTEXT cost is the timing
+    difference against the full substep — never use for physics.
     """
     from ...ops import lesstage_pallas
 
@@ -222,8 +226,9 @@ def substep(grid, phys, state: LESState, forcing: LESForcing, dt,
              rain) = lesstage_pallas.stage_fused(grid, phys, s, base,
                                                  forcing, frac, dt)
             w = jnp.concatenate([wn, jnp.zeros_like(wn[:1])], axis=0)
-            u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v, w,
-                                         frac * dt, solver=solver)
+            if not skip_projection:
+                u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v,
+                                             w, frac * dt, solver=solver)
             t = dict(kmax=kmax, surf_rain=rain)
             return s._replace(u=u, v=v, w=w, thl=thl, qt=qt, qr=qr,
                               e12=e12, ustar=jnp.sqrt(ustar2)), t
@@ -233,8 +238,9 @@ def substep(grid, phys, state: LESState, forcing: LESForcing, dt,
             u = base.u + frac * dt * t["u"]
             v = base.v + frac * dt * t["v"]
             w = base.w + frac * dt * t["w"]
-            u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v, w,
-                                         frac * dt, solver=solver)
+            if not skip_projection:
+                u, v, w, _ = poisson.project(grid, s.rhobf, s.rhobh, u, v,
+                                             w, frac * dt, solver=solver)
             return s._replace(
                 u=u, v=v, w=w,
                 thl=base.thl + frac * dt * t["thl"],

@@ -136,3 +136,23 @@ def replicate(tree, mesh):
     return jax.tree.map(
         lambda x: jax.device_put(np.asarray(x) if multiproc else x, nd),
         tree)
+
+
+def local_les_positions(mesh, n_les):
+    """Instance positions whose devices ALL belong to this process.
+
+    The fleet is block-distributed over the `les` mesh axis (GSPMD:
+    ceil(n_les / L) per slot); an instance is process-local when every
+    device of its les-slot (including its x/y spatial shards) lives on
+    this process. Used for shard-local per-instance output
+    (io/crossio.py) in multi-controller runs.
+    """
+    L = mesh.shape["les"]
+    per = -(-n_les // L)
+    pidx = jax.process_index()
+    darr = np.asarray(mesh.devices).reshape(L, -1)
+    local = []
+    for slot in range(L):
+        if all(d.process_index == pidx for d in darr[slot]):
+            local.extend(range(slot * per, min((slot + 1) * per, n_les)))
+    return local

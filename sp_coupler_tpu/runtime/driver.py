@@ -207,17 +207,27 @@ class SPRunner:
         self._cross_next = -float("inf")
         if (cfg.les_cross and isinstance(self.fleet, les_model.LESFleet)
                 and n > 0):
-            if jax.process_count() > 1:
-                log.info("les_cross disabled: per-instance 3-D state is "
-                         "not host-addressable in a multi-controller run")
-            else:
-                from ..io import crossio as crossio_mod
-                self.crossio = crossio_mod.FleetCrossIO(
-                    cfg.output_dir, self.fleet.grid, self.sp_cols,
-                    heights=tuple(h - 1 for h in cfg.les_cross_heights))
-                log.info("per-instance cross-section output: les-work-*/"
-                         "cross.nc every %.0f s", max(cfg.les_cross_dtav,
-                                                      cfg.gcm_dt))
+            # multi-controller: each process writes cross.nc for the
+            # instances it owns (reference: every DALES instance writes
+            # its own files, README.md:108-111); single process owns all
+            positions = list(range(n))
+            if jax.process_count() > 1 and self.mesh is not None:
+                from ..parallel import mesh as pmesh
+                positions = pmesh.local_les_positions(self.mesh, n)
+                log.info("les_cross shard-local: process %d owns "
+                         "instances %s", jax.process_index(), positions)
+            # construct on EVERY process (possibly with zero local
+            # writers): _write_cross's get_fields() is a collective
+            # program — all processes must keep executing it in lockstep
+            from ..io import crossio as crossio_mod
+            self.crossio = crossio_mod.FleetCrossIO(
+                cfg.output_dir, self.fleet.grid,
+                [self.sp_cols[p] for p in positions],
+                heights=tuple(h - 1 for h in cfg.les_cross_heights),
+                positions=positions)
+            log.info("per-instance cross-section output: les-work-*/"
+                     "cross.nc every %.0f s", max(cfg.les_cross_dtav,
+                                                  cfg.gcm_dt))
 
         # fused fast path: native GCM + native LES -> one jitted program per
         # coupled step (coupling/coupler.py); the host only writes spifs.nc

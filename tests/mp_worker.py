@@ -38,6 +38,8 @@ def main():
                    les_itot=16, les_jtot=16, les_ktot=24,
                    les_xsize=3200.0, les_ysize=3200.0, les_dz=100.0,
                    les_dt=5.0, mesh_les=2, les_num_procs=4, max_num_les=2,
+                   les_cross=True, les_cross_heights=(2, 10),
+                   les_cross_dtav=60.0,
                    output_dir=outdir)
     r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
     r.initialize()

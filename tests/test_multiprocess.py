@@ -93,3 +93,23 @@ def test_two_process_run_matches_single(tmp_path):
     # same 8-device SPMD program, same mesh, deterministic XLA CPU ->
     # bit-identical output expected; tolerate nothing silently
     assert not worst, f"1p vs 2p spifs.nc differs: {worst}"
+
+    # shard-local per-instance output: EVERY les-work-<col>/cross.nc must
+    # exist in the 2-process run (each worker writes the instances it
+    # owns — reference README.md:108-111), with the same records as the
+    # single-process run
+    from sp_coupler_tpu.io import spnc
+    ds = spifs.open_reader(nc2)
+    cols = sorted(int(g) for g in ds.groups)
+    ds.close()
+    assert len(cols) == 2
+    for col in cols:
+        p1 = os.path.join(out1, "les-work-%d" % col, "cross.nc")
+        p2 = os.path.join(out2, "les-work-%d" % col, "cross.nc")
+        assert os.path.exists(p2), f"missing shard-local cross.nc for {col}"
+        d1, _ = spnc.read_cdf(p1)
+        d2, _ = spnc.read_cdf(p2)
+        assert d1["time"].shape == d2["time"].shape
+        np.testing.assert_allclose(d2["lwp"], d1["lwp"], atol=1e-6)
+        np.testing.assert_allclose(d2["thlxy001"], d1["thlxy001"],
+                                   atol=1e-4)
