@@ -12,6 +12,7 @@ rd = 287.04         # J/kg/K gas constant, dry air
 rv = 461.5          # J/kg/K gas constant, water vapor
 cp = 1004.0         # J/kg/K specific heat of dry air at constant pressure
 rlv = 2.53e6        # J/kg  latent heat of vaporisation
+rls = 2.84e6        # J/kg  latent heat of sublimation (ice processes)
 grav = 9.81         # m/s^2 gravitational acceleration
 mair = 28.967e-3    # kg/mol molar mass of dry air
 omega = 7.292e-5    # 1/s   Earth rotation rate

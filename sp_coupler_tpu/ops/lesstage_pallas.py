@@ -171,7 +171,8 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
             u_sl, v_sl, w_sl, s_sl, p_sl, sems,
             *, bz, nx, dx, dy, dz, nz, scheme, qt_mode, f_cor,
             sponge_depth, sponge_tau, n_sat_iter, fdt,
-            nc0, auto_k, accr_k, evap_tau, sed_a, sed_b):
+            nc0, auto_k, accr_k, evap_tau, sed_a, sed_b,
+            ice_tau, ice_qi0, sed_ai, sed_bi):
     b = pl.program_id(0)
     zi = pl.program_id(1)
     z0 = zi * bz
@@ -477,15 +478,19 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
             dqt = dqt + jnp.where(fqt < 0, fqt * scale,
                                   jnp.broadcast_to(fqt, qt_0.shape))
 
-    # ---- microphysics (needs +1 plane for the sedimentation flux) ----
+    # ---- microphysics: simpleice — liquid part KK2000 warm rain, ice
+    # part threshold/timescale snow source, phase-blended fall speeds
+    # (needs +1 plane for the sedimentation flux; mirrors micro.py) ----
     nc_cm3 = nc0 * 1e-6
     ql_0 = ql_e[E:E + bz]
     T_0 = T_e[E:E + bz]
     qr_0 = WS(2)
-    auto = auto_k * jnp.maximum(ql_0, 0.0) ** 2.47 * nc_cm3 ** (-1.79)
-    accr = accr_k * (jnp.maximum(ql_0, 0.0)
-                     * jnp.maximum(qr_0, 0.0)) ** 1.15
-    to_rain = jnp.minimum(auto + accr, jnp.maximum(ql_0, 0.0) / dtv)
+    fi_0 = jnp.clip((c.tmelt - T_0) / (c.tmelt - 250.0), 0.0, 1.0)
+    ql_pos = jnp.maximum(ql_0, 0.0)
+    auto = (auto_k * (ql_pos * (1.0 - fi_0)) ** 2.47 * nc_cm3 ** (-1.79)
+            + jnp.maximum(ql_pos * fi_0 - ice_qi0, 0.0) / ice_tau)
+    accr = accr_k * (ql_pos * jnp.maximum(qr_0, 0.0)) ** 1.15
+    to_rain = jnp.minimum(auto + accr, ql_pos / dtv)
     qv_0 = qt_0 - ql_0
     qs_0 = qs_e[E:E + bz]
     subsat = jnp.clip((qs_0 - qv_0) / jnp.maximum(qs_0, 1e-8), 0.0, 1.0)
@@ -494,11 +499,18 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     mdqr = to_rain - evap
     dqt = dqt - to_rain + evap
     iex_0 = iex_e[E:E + bz]
-    dthl = dthl - c.rlv / c.cp * iex_0 * evap
+    lheat = (1.0 - fi_0) * c.rlv + fi_0 * c.rls
+    dthl = dthl - lheat / c.cp * iex_0 * evap
     # sedimentation flux at cells g and g+1 (flux = rho vt qr, downward)
     qr_p1 = qr_e[E + 1:E + bz + 1]
-    vt_0 = sed_a * jnp.maximum(rf * qr_0, 0.0) ** sed_b
-    vt_p1 = sed_a * jnp.maximum(rf_p1 * qr_p1, 0.0) ** sed_b
+    T_p1 = T_e[E + 1:E + bz + 1]
+    fi_p1 = jnp.clip((c.tmelt - T_p1) / (c.tmelt - 250.0), 0.0, 1.0)
+    rq_0 = jnp.maximum(rf * qr_0, 0.0)
+    rq_p1 = jnp.maximum(rf_p1 * qr_p1, 0.0)
+    vt_0 = ((1.0 - fi_0) * sed_a * rq_0 ** sed_b
+            + fi_0 * sed_ai * rq_0 ** sed_bi)
+    vt_p1 = ((1.0 - fi_p1) * sed_a * rq_p1 ** sed_b
+             + fi_p1 * sed_ai * rq_p1 ** sed_bi)
     flux_0 = rf * vt_0 * jnp.maximum(qr_0, 0.0)
     flux_p1 = rf_p1 * vt_p1 * jnp.maximum(qr_p1, 0.0)
     flux_p1 = jnp.where(g0 == nz - 1, f32(0.0), flux_p1)
@@ -589,7 +601,8 @@ def _batched_call(u, v, w, scal, prof, ub, vb, wb, sb,
         sponge_depth=sponge_depth, sponge_tau=sponge_tau,
         n_sat_iter=n_sat_iter, fdt=fdt,
         nc0=mp[0], auto_k=mp[1], accr_k=mp[2], evap_tau=mp[3],
-        sed_a=mp[4], sed_b=mp[5])
+        sed_a=mp[4], sed_b=mp[5], ice_tau=mp[6], ice_qi0=mp[7],
+        sed_ai=mp[8], sed_bi=mp[9])
     fld = pl.BlockSpec((1, bz, P), lambda b, i: (b, i, 0),
                        memory_space=pltpu.VMEM)
     sfld = pl.BlockSpec((1, S, bz, P), lambda b, i: (b, 0, i, 0),
@@ -677,7 +690,9 @@ def stage_fused(grid, phys, cur, base, forcing, frac_dt, dt):
     interpret = jax.default_backend() != "tpu"
     mp = (float(phys.mphys.nc0), float(phys.mphys.auto_k),
           float(phys.mphys.accr_k), float(phys.mphys.evap_tau),
-          float(phys.mphys.sed_a), float(phys.mphys.sed_b))
+          float(phys.mphys.sed_a), float(phys.mphys.sed_b),
+          float(phys.mphys.ice_tau), float(phys.mphys.ice_qi0),
+          float(phys.mphys.sed_ai), float(phys.mphys.sed_bi))
     op = _make_op(int(ny), int(nx), float(grid.dx), float(grid.dy),
                   float(grid.dz), int(bz), bool(interpret),
                   phys.scheme, int(phys.qt_forcing),

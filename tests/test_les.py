@@ -337,3 +337,50 @@ class TestFleetTimestepKnobs:
             fl.evolve_to(300.0, self._forcing(16))
             n[pe] = fl.last_substeps
         assert n[0.005] >= n[0.1]
+
+
+class TestSimpleIce:
+    """Mixed-phase 'simpleice' precip (DALES imicro=6 equivalent): ice
+    interacts with the precipitation path instead of only being a
+    diagnostic split (VERDICT r2 item 10)."""
+
+    def _tend(self, T0, ql0, qr0, auto_k=0.0, accr_k=0.0, **kw):
+        g = small_grid(nx=4, ny=4, nz=8)
+        p = lstep.micro.MicroParams(auto_k=auto_k, accr_k=accr_k, **kw)
+        shp = (g.nz, 4, 4)
+        rho = jnp.ones(g.nz)
+        T = jnp.full(shp, T0)
+        pr = jnp.full(shp, 8e4)
+        qv = jnp.full(shp, 1e-4)      # very subsaturated
+        ql = jnp.full(shp, ql0)
+        qr = jnp.full(shp, qr0)
+        return lstep.micro.rain_tendencies(g, p, rho, T, pr, qv, ql, qr,
+                                           2.0)
+
+    def test_cold_cloud_precipitates_without_warm_rain(self):
+        """T=230 K, warm-rain rates off: the ice autoconversion path
+        still converts cloud ice to precip."""
+        dqt, dqr, dthl, _ = self._tend(230.0, 1e-3, 0.0, evap_tau=1e30)
+        assert float(jnp.max(dqr)) > 0.0
+        assert float(jnp.min(dqt)) < 0.0
+        # warm cloud with the same settings: no source at all
+        dqt_w, dqr_w, _, _ = self._tend(290.0, 1e-3, 0.0, evap_tau=1e30)
+        assert float(jnp.max(jnp.abs(dqr_w))) == 0.0
+
+    def test_snow_falls_slower_than_rain(self):
+        """Same precip load: the cold column's surface flux is smaller
+        (snow fall speed ~1 m/s vs rain ~5-7 m/s)."""
+        _, _, _, flux_cold = self._tend(230.0, 0.0, 1e-3, evap_tau=1e30)
+        _, _, _, flux_warm = self._tend(290.0, 0.0, 1e-3, evap_tau=1e30)
+        assert float(flux_cold) < 0.5 * float(flux_warm)
+        assert float(flux_cold) > 0.0
+
+    def test_sublimation_latent_heat_uses_rls(self):
+        """Phase-weighted latent heat: cooling per unit evaporated mass
+        is rls/rlv times larger for the ice-phase precip."""
+        dqt_c, _, dthl_c, _ = self._tend(230.0, 0.0, 1e-3)
+        dqt_w, _, dthl_w, _ = self._tend(290.0, 0.0, 1e-3)
+        # normalize by the (T-dependent) evaporated mass
+        rc = float(jnp.mean(dthl_c) / jnp.mean(dqt_c))
+        rw = float(jnp.mean(dthl_w) / jnp.mean(dqt_w))
+        np.testing.assert_allclose(rc / rw, c.rls / c.rlv, rtol=0.15)
