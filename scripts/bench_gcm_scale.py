@@ -29,8 +29,10 @@ DT = {159: 3600.0, 255: 2700.0, 639: 720.0}
 
 def bench_trunc(trunc, repeats=10):
     nlev = NLEV.get(trunc, 60)
+    # semi-Lagrangian: at these truncations the OpenIFS-like DT table
+    # (3600/2700/720 s) is far beyond the Eulerian advective CFL
     cfg = gm.GCMConfig(trunc=trunc, nlev=nlev, dt=DT.get(trunc, 900.0),
-                       hybrid=True)
+                       hybrid=True, advection="sl")
     core = gm.GCMCore(cfg)
     state = core.initial_state(seed=1)
 

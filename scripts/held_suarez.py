@@ -34,8 +34,10 @@ from sp_coupler_tpu.models.gcm import model as gm
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3):
-    cfg = gm.GCMConfig(trunc=trunc, nlev=nlev, dt=dt, hybrid=True)
+def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
+        advection="sl"):
+    cfg = gm.GCMConfig(trunc=trunc, nlev=nlev, dt=dt, hybrid=True,
+                       advection=advection)
     core = gm.GCMCore(cfg)
     state = core.initial_state(seed=seed)
     state = jax.jit(lambda s: core.step(s, first=True))(state)
@@ -150,10 +152,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", type=int, default=100)
     ap.add_argument("--trunc", type=int, default=42)
+    ap.add_argument("--advection", default="sl")
     ap.add_argument("--out", default=os.path.join(
         REPO, "sp_coupler_tpu", "verify", "HELD_SUAREZ.md"))
     args = ap.parse_args()
-    r = run(trunc=args.trunc, days=args.days)
+    r = run(trunc=args.trunc, days=args.days,
+            advection=args.advection)
     stats = analyze(r)
     ok = check(stats)
     lines = [

@@ -70,6 +70,12 @@ def build_parser(defaults: SPConfig):
                    help="GCM spectral truncation (21 = T21)")
     p.add_argument("--levels", dest="gcm_levels", metavar="L", type=int,
                    default=defaults.gcm_levels, help="GCM vertical levels")
+    p.add_argument("--gcm_advection", dest="gcm_advection", metavar="SCHEME",
+                   type=str, default="auto", choices=["auto", "eulerian",
+                                                      "sl"],
+                   help="GCM advection: semi-Lagrangian (sl, the OpenIFS-"
+                        "lineage large-timestep scheme), Eulerian leapfrog,"
+                        " or auto (sl at T63+)")
     p.add_argument("--gcm_dt", dest="gcm_dt", metavar="dt", type=float,
                    default=defaults.gcm_dt, help="GCM time step (s)")
     p.add_argument("--odir", dest="output_dir", metavar="DIR", type=str,
