@@ -132,6 +132,12 @@ class SPConfig:
                                        # goes non-finite (failure detection)
     jax_profile: bool = False          # capture a jax profiler trace of
                                        # one coupled step into output_dir
+    timing_phases: bool = False        # sample the fused step's per-phase
+                                       # device times once (step 2) into a
+                                       # timing.txt comment (the phase
+                                       # columns of the reference's
+                                       # timing.txt live inside ONE device
+                                       # program here)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

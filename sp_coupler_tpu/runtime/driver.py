@@ -678,6 +678,45 @@ class SPRunner:
                 self.writer.write_column(col, **kwargs)
         self.writer.sync()
 
+    def _sample_phase_times(self, prev_prof, skip, first):
+        """One-shot per-phase device timing of the fused step.
+
+        Runs the SAME phase functions the fused program is built from
+        (pre / evolve / post, coupler.py) once on the current inputs,
+        timing each, then discards the outputs — the production
+        trajectory continues through the single fused program untouched.
+        Written as a comment line into timing.txt (the reference's
+        per-phase columns, splib.py:340-343, live inside one device
+        program here and are otherwise not separable host-side)."""
+        import jax as _jax
+        c = self.coupled
+        try:
+            t0 = time.time()
+            pre = _jax.block_until_ready(c._jit_pre(
+                self.gcm.state, self.fleet.state, prev_prof,
+                np.asarray(self.gcm.step_count, np.int32), first=first,
+                skip_half=skip))
+            t_pre = time.time() - t0
+            g2, l2, forcing, conv, prof2, pre_diag = pre
+            t0 = time.time()
+            l3, ns, ncl = _jax.block_until_ready(
+                c._jit_evolve(l2, forcing, c.core.cfg.dt))
+            t_ev = time.time() - t0
+            t0 = time.time()
+            _jax.block_until_ready(c._jit_post(
+                g2, l3, conv, prof2,
+                np.asarray(self.rain_last, np.float32), ns, ncl,
+                pre_diag, first=first))
+            t_post = time.time() - t0
+            self.timing_file.write(
+                "# phase sample (step %d): gcm1+gather+forcings %.3f s, "
+                "les evolve %.3f s, tendencies+gcm2 %.3f s (incl "
+                "compile on first sample)\n"
+                % (self.step_index, t_pre, t_ev, t_post))
+            self.timing_file.flush()
+        except Exception as e:  # sampling must never kill a run
+            log.warning("phase-time sampling failed: %s", e)
+
     def _step_fused(self):
         """One coupled step through the fused jitted program."""
         cfg = self.cfg
@@ -691,6 +730,11 @@ class SPRunner:
         prev_prof = getattr(self, "_fused_prof", None)
         if prev_prof is None:
             prev_prof = self.fleet.get_profiles()
+        if (cfg.timing_phases and self.step_index == 2
+                and self.coupled.evolve_chunks == 1
+                and jax.process_count() == 1):
+            self._sample_phase_times(prev_prof, skip, self.gcm._first)
+            start = time.time()
         # `first` follows the GCM's Euler-start bookkeeping (not the
         # coupling firststep flag: after a spinup the GCM is still on its
         # first leapfrog step while profiles already exist)
