@@ -18,6 +18,20 @@ Conventions:
   complex ones (and the MXU only multiplies reals anyway).
 - P tables are orthonormal on mu in [-1, 1]: sum_j w_j P[j,m,n]^2 = 1.
 - grid arrays are [..., nlat, nlon], latitude index j runs north -> south.
+
+On the REDUCED Gaussian grid (OpenIFS runs one: fewer longitudes per
+ring toward the poles, ~30% fewer points): deliberately NOT implemented.
+The trade is TPU-specific: a reduced grid makes every grid-space array
+ragged (per-ring nlon), which fragments the Legendre einsum batching,
+the pointwise physics, and the SL interpolation gathers into per-ring
+shapes the MXU/VPU cannot tile — while the dominant high-truncation cost
+(the Legendre contraction, O(nlat * M * N) per field) does not shrink at
+all with a reduced grid. The framework instead takes the saving the
+dense-tensor way: the LINEAR truncation grid at TL639 (1280 x 640 vs the
+quadratic 1920 x 960 — GRID_FOR_TRUNC below), which removes 2.25x of
+grid-space work against the alias-free grid with zero raggedness. The
+~1.3x further reduction a reduced grid would give to the grid-space
+minority of the step is not worth making every hot loop shape-dynamic.
 """
 
 import functools
