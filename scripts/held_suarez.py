@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
-        advection="sl"):
+        advection="sl", chunk=None):
     cfg = gm.GCMConfig(trunc=trunc, nlev=nlev, dt=dt, hybrid=True,
                        advection=advection)
     core = gm.GCMCore(cfg)
@@ -46,7 +46,11 @@ def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
     n_spin = spinup_days * steps_per_day
     n_avg = (days - spinup_days) * steps_per_day
 
-    CHUNK = steps_per_day  # one scan per model day
+    # scan chunk: one model day by default; smaller on remote-compile
+    # backends where a long scanned SL body compiles slowly
+    CHUNK = chunk or steps_per_day
+    n_spin = (n_spin // CHUNK) * CHUNK
+    n_avg = max((n_avg // CHUNK) * CHUNK, CHUNK)
 
     @jax.jit
     def chunk(state):
@@ -70,13 +74,13 @@ def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
         s, _ = jax.lax.scan(body, state, None, length=CHUNK)
         return s
     t0 = time.time()
-    for _ in range(spinup_days):
+    for _ in range(n_spin // CHUNK):
         state = chunk_nostat(state)
     jax.block_until_ready(state)
     acc_u = np.zeros((nlev, core.nlat))
     acc_T = np.zeros((nlev, core.nlat))
     cnt = 0.0
-    for _ in range(days - spinup_days):
+    for _ in range(n_avg // CHUNK):
         state, au, aT, c = chunk(state)
         acc_u += np.asarray(au)
         acc_T += np.asarray(aT)
@@ -153,11 +157,13 @@ def main():
     ap.add_argument("--days", type=int, default=100)
     ap.add_argument("--trunc", type=int, default=42)
     ap.add_argument("--advection", default="sl")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="scan chunk length (steps); 0 = one model day")
     ap.add_argument("--out", default=os.path.join(
         REPO, "sp_coupler_tpu", "verify", "HELD_SUAREZ.md"))
     args = ap.parse_args()
     r = run(trunc=args.trunc, days=args.days,
-            advection=args.advection)
+            advection=args.advection, chunk=args.chunk or None)
     stats = analyze(r)
     ok = check(stats)
     lines = [
