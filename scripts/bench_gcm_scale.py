@@ -24,7 +24,13 @@ from sp_coupler_tpu.models.gcm import spharm
 # uses L91 — L60 keeps the memory of three time levels under control on
 # one chip while exercising the same per-level transform batch
 NLEV = {159: 60, 255: 60, 639: 60}
-DT = {159: 3600.0, 255: 2700.0, 639: 720.0}
+# dt per truncation: the semi-implicit treats gravity waves, but vertical
+# advection and the physics coupling are explicit midpoint terms — with
+# L60's thin stretch layers they are unstable beyond ~dt=1800 s
+# regardless of truncation (measured: L60 blows up at dt=2700-3600 under
+# BOTH advection schemes; stable at 720-1800). TL639 runs its production
+# 720 s step; lower truncations use 1800 s.
+DT = {159: 1800.0, 255: 1800.0, 639: 720.0}
 
 
 def bench_trunc(trunc, repeats=10):

@@ -140,10 +140,58 @@ class SpectralTransform:
         self.mu = jnp.asarray(mu, rdtype)
         self.w = jnp.asarray(w, rdtype)
         self.cosl = jnp.asarray(np.sqrt(1 - mu ** 2), rdtype)
-        self.P = jnp.asarray(P, rdtype)
-        self.H = jnp.asarray(H, rdtype)
-        self.Pw = jnp.asarray(P * w[:, None, None], rdtype)
-        self.Hw = jnp.asarray(H * w[:, None, None], rdtype)
+        # Equatorial-symmetry folding: P_n^m(-mu) = (-1)^{n+m} P_n^m(mu)
+        # (and the opposite parity for H = (1-mu^2) dP/dmu). Tables are
+        # stored for the NORTH half only, split into even/odd (n - m)
+        # parity classes with the n index PACKED (n = m + 2k) — so each
+        # Legendre contraction runs at HALF the rows and HALF the columns
+        # of the naive [nlat, M, N] einsum: 2x fewer MXU FLOPs and 4x
+        # less table memory than round 2 (which also kept premultiplied
+        # Pw/Hw copies; at TL639 those were ~4 GB of closure constants
+        # serialized into every lowered module — brutal for remote
+        # compiles). The quadrature weight is folded into the small
+        # zonal-spectra arrays instead (_wq).
+        assert nlat % 2 == 0
+        jn = nlat // 2
+        self.jn = jn
+        Ke = (self.N + 1) // 2
+        self.Ke = Ke
+        ms = np.arange(self.M)[:, None]
+        ks = np.arange(Ke)[None, :]
+        n_e = ms + 2 * ks                       # class n-m even
+        n_o = n_e + 1
+        ve = n_e < self.N
+        vo = n_o < self.N
+        idx_e = np.minimum(n_e, self.N - 1)
+        idx_o = np.minimum(n_o, self.N - 1)
+        marr = np.arange(self.M)[:, None]
+        self.Pe = jnp.asarray(P[:jn, marr, idx_e] * ve, rdtype)
+        self.Po = jnp.asarray(P[:jn, marr, idx_o] * vo, rdtype)
+        # NO H tables at all: the derivative transform is the exact
+        # banded recurrence H_nm = -n eps_{n+1,m} P_{n+1,m}
+        # + (n+1) eps_{nm} P_{n-1,m}, i.e. a P-transform of SHIFTED
+        # coefficients (_h_shift / _h_shift_adj below) — another 2x off
+        # the table memory and the per-transform HBM traffic
+        n_full = np.arange(self.N + 1)[None, :]
+        m_full = np.arange(self.M)[:, None]
+        eps = np.sqrt(np.maximum(n_full ** 2 - m_full ** 2, 0.0)
+                      / np.maximum(4.0 * n_full ** 2 - 1.0, 1.0))
+        nv = np.arange(self.N)[None, :]
+        self._c_up = jnp.asarray((nv + 2.0) * eps[:, 1:self.N + 1], rdtype)
+        self._c_dn = jnp.asarray(-(nv - 1.0) * eps[:, :self.N], rdtype)
+        self._ca_up = jnp.asarray(-nv * eps[:, 1:self.N + 1], rdtype)
+        self._ca_dn = jnp.asarray((nv + 1.0) * eps[:, :self.N], rdtype)
+        self._idx_e = jnp.asarray(idx_e, jnp.int32)
+        self._idx_o = jnp.asarray(idx_o, jnp.int32)
+        self._ve = jnp.asarray(ve, rdtype)
+        self._vo = jnp.asarray(vo, rdtype)
+        # inverse map: for (m, n), k = (n - m) // 2 into the packed axis
+        nn = np.arange(self.N)[None, :]
+        dk = nn - np.arange(self.M)[:, None]
+        self._k_of = jnp.asarray(
+            np.clip(np.maximum(dk, 0) // 2, 0, Ke - 1), jnp.int32)
+        self._class_even = jnp.asarray((dk % 2 == 0) & (dk >= 0),
+                                       jnp.bool_)
         # weights / masks on (m, n)
         n_idx = np.arange(self.N)[None, :] * np.ones((self.M, 1))
         m_idx = np.arange(self.M)[:, None] * np.ones((1, self.N))
@@ -231,17 +279,86 @@ class SpectralTransform:
         return self.constrain_grid(
             jnp.einsum("...mc,mci->...i", fm, self.Finv, precision=_PREC))
 
+    def _wq(self, fm):
+        """Fold the Gaussian quadrature weight into zonal spectra."""
+        return fm * self.w[:, None, None]
+
+    # ---- symmetry-folded Legendre stages -----------------------------------
+
+    def _pack_coeffs(self, s):
+        """[..., M, N, 2] -> (even, odd) packed [..., M, Ke, 2]."""
+        exp = lambda idx: jnp.broadcast_to(
+            idx.reshape((1,) * (s.ndim - 3) + idx.shape + (1,)),
+            s.shape[:-2] + (self.Ke, 1)).astype(jnp.int32)
+        se = jnp.take_along_axis(s, exp(self._idx_e), axis=-2)
+        so = jnp.take_along_axis(s, exp(self._idx_o), axis=-2)
+        return (se * self._ve[..., None], so * self._vo[..., None])
+
+    def _unpack_coeffs(self, se, so):
+        """(even, odd) packed [..., M, Ke, 2] -> [..., M, N, 2]."""
+        k = self._k_of
+        exp = jnp.broadcast_to(
+            k.reshape((1,) * (se.ndim - 3) + k.shape + (1,)),
+            se.shape[:-2] + (self.N, 1)).astype(jnp.int32)
+        from_e = jnp.take_along_axis(se, exp, axis=-2)
+        from_o = jnp.take_along_axis(so, exp, axis=-2)
+        return jnp.where(self._class_even[..., None], from_e, from_o)
+
+    def _fold(self, fm, sign):
+        """[..., nlat, M, 2] -> [..., jn, M, 2]: north +- mirrored south."""
+        north = fm[..., :self.jn, :, :]
+        south = jnp.flip(fm[..., self.jn:, :, :], axis=-3)
+        return north + sign * south
+
+    def _unfold(self, north, south_n):
+        """North rows + south rows (in north order) -> [..., nlat, M, 2]."""
+        return jnp.concatenate([north, jnp.flip(south_n, axis=-3)],
+                               axis=-3)
+
+    def _h_shift(self, s):
+        """Coefficient image of the H synthesis: sum_n s_n H_nm ==
+        sum_n' (_h_shift s)_n' P_n'm. Support may land on the n = T+1
+        workspace row — do NOT re-mask before synthesizing."""
+        up = jnp.concatenate([s[..., 1:, :], jnp.zeros_like(s[..., :1, :])],
+                             axis=-2)
+        dn = jnp.concatenate([jnp.zeros_like(s[..., :1, :]), s[..., :-1, :]],
+                             axis=-2)
+        return (self._c_up[..., None] * up + self._c_dn[..., None] * dn)
+
+    def _h_shift_adj(self, a):
+        """Adjoint: sum_j H[j,m,n] X[j] from a_n = sum_j P[j,m,n] X[j]."""
+        up = jnp.concatenate([a[..., 1:, :], jnp.zeros_like(a[..., :1, :])],
+                             axis=-2)
+        dn = jnp.concatenate([jnp.zeros_like(a[..., :1, :]), a[..., :-1, :]],
+                             axis=-2)
+        return (self._ca_up[..., None] * up + self._ca_dn[..., None] * dn)
+
+    def _syn(self, s):
+        """Packed-spectral -> zonal spectra through folded tables."""
+        se, so = self._pack_coeffs(s)
+        fe = jnp.einsum("...mkc,jmk->...jmc", se, self.Pe, precision=_PREC)
+        fo = jnp.einsum("...mkc,jmk->...jmc", so, self.Po, precision=_PREC)
+        return self._unfold(fe + fo, fe - fo)
+
+    def _ana(self, fmw):
+        """Weighted zonal spectra -> packed spectral via folded tables.
+
+        Returns the UNMASKED coefficients (the n = T+1 workspace row is
+        meaningful to the H adjoint); callers mask."""
+        ge = self._fold(fmw, 1.0)        # feeds the even (n-m) class
+        go = self._fold(fmw, -1.0)       # feeds the odd class
+        se = jnp.einsum("...jmc,jmk->...mkc", ge, self.Pe, precision=_PREC)
+        so = jnp.einsum("...jmc,jmk->...mkc", go, self.Po, precision=_PREC)
+        return self._unpack_coeffs(se, so)
+
     def analyze(self, f):
         """Grid [..., nlat, nlon] -> packed spectral [..., M, N, 2]."""
-        fm = self._fft(f)
-        s = jnp.einsum("...jmc,jmn->...mnc", fm, self.Pw, precision=_PREC)
-        return self.constrain_spec(s * self.mask[..., None])
+        fmw = self._wq(self._fft(f))
+        return self.constrain_spec(self._ana(fmw) * self.mask[..., None])
 
     def synthesize(self, s):
         """Packed spectral [..., M, N, 2] -> grid [..., nlat, nlon]."""
-        fm = jnp.einsum("...mnc,jmn->...jmc", s * self.mask[..., None],
-                        self.P, precision=_PREC)
-        return self._ifft(fm)
+        return self._ifft(self._syn(s * self.mask[..., None]))
 
     # ---- derivatives -------------------------------------------------------
 
@@ -258,9 +375,7 @@ class SpectralTransform:
 
     def synthesize_ddmu(self, s):
         """Grid values of (1 - mu^2) df/dmu from packed spectral f."""
-        fm = jnp.einsum("...mnc,jmn->...jmc", s * self.mask[..., None],
-                        self.H, precision=_PREC)
-        return self._ifft(fm)
+        return self._ifft(self._syn(self._h_shift(s * self.mask[..., None])))
 
     def uv_from_vort_div(self, vort, div):
         """Grid (u, v) from packed spectral vorticity & divergence.
@@ -289,19 +404,15 @@ class SpectralTransform:
         with the 1/(1-mu^2) factor folded into the cos division.
         """
         coslat = self.cosl[:, None]
-        A = self._fft(u / coslat)
-        B = self._fft(v / coslat)
+        A = self._wq(self._fft(u / coslat))
+        B = self._wq(self._fft(v / coslat))
         mvec = jnp.arange(self.M, dtype=u.dtype)
         iA = self._mul_i(A, mvec)
         iB = self._mul_i(B, mvec)
-        div = (jnp.einsum("...jmc,jmn->...mnc", iA, self.Pw,
-                          precision=_PREC)
-               - jnp.einsum("...jmc,jmn->...mnc", B, self.Hw,
-                            precision=_PREC)) / self.radius
-        vort = (jnp.einsum("...jmc,jmn->...mnc", iB, self.Pw,
-                           precision=_PREC)
-                + jnp.einsum("...jmc,jmn->...mnc", A, self.Hw,
-                             precision=_PREC)) / self.radius
+        div = (self._ana(iA)
+               - self._h_shift_adj(self._ana(B))) / self.radius
+        vort = (self._ana(iB)
+                + self._h_shift_adj(self._ana(A))) / self.radius
         return (self.constrain_spec(vort * self.mask[..., None]),
                 self.constrain_spec(div * self.mask[..., None]))
 
