@@ -52,40 +52,64 @@ def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
     n_spin = (n_spin // CHUNK) * CHUNK
     n_avg = max((n_avg // CHUNK) * CHUNK, CHUNK)
 
-    @jax.jit
-    def chunk(state):
-        """Run CHUNK steps, accumulating zonal-mean u/T every step."""
-        def body(carry, _):
+    if CHUNK == 1:
+        # no lax.scan: XLA's compile time for a scanned SL body is
+        # pathological on the remote TPU backend (a single step compiles
+        # in ~1 min; a scan of 6 did not finish in 30). Host loop with
+        # device-resident accumulators; dispatch adds ~tens of ms/step.
+        @jax.jit
+        def chunk(carry):
             s, acc_u, acc_T, cnt = carry
             s = core.step(s)
-            acc_u = acc_u + s.grid.u.mean(axis=2)
-            acc_T = acc_T + s.grid.T.mean(axis=2)
-            return (s, acc_u, acc_T, cnt + 1), None
+            return (s, acc_u + s.grid.u.mean(axis=2),
+                    acc_T + s.grid.T.mean(axis=2), cnt + 1)
 
-        zu = jnp.zeros((core.cfg.nlev, core.nlat))
-        (s, au, aT, c), _ = jax.lax.scan(
-            body, (state, zu, zu, jnp.zeros(())), None, length=CHUNK)
-        return s, au, aT, c
+        chunk_nostat = jax.jit(core.step)
+    else:
+        @jax.jit
+        def chunk(state):
+            """Run CHUNK steps, accumulating zonal-mean u/T every step."""
+            def body(carry, _):
+                s, acc_u, acc_T, cnt = carry
+                s = core.step(s)
+                acc_u = acc_u + s.grid.u.mean(axis=2)
+                acc_T = acc_T + s.grid.T.mean(axis=2)
+                return (s, acc_u, acc_T, cnt + 1), None
 
-    @jax.jit
-    def chunk_nostat(state):
-        def body(s, _):
-            return core.step(s), None
-        s, _ = jax.lax.scan(body, state, None, length=CHUNK)
-        return s
+            zu = jnp.zeros((core.cfg.nlev, core.nlat))
+            (s, au, aT, c), _ = jax.lax.scan(
+                body, (state, zu, zu, jnp.zeros(())), None, length=CHUNK)
+            return s, au, aT, c
+
+        @jax.jit
+        def chunk_nostat(state):
+            def body(s, _):
+                return core.step(s), None
+            s, _ = jax.lax.scan(body, state, None, length=CHUNK)
+            return s
     t0 = time.time()
     for _ in range(n_spin // CHUNK):
         state = chunk_nostat(state)
     jax.block_until_ready(state)
-    acc_u = np.zeros((nlev, core.nlat))
-    acc_T = np.zeros((nlev, core.nlat))
-    cnt = 0.0
-    for _ in range(n_avg // CHUNK):
-        state, au, aT, c = chunk(state)
-        acc_u += np.asarray(au)
-        acc_T += np.asarray(aT)
-        cnt += float(c)
-    jax.block_until_ready(state)
+    if CHUNK == 1:
+        zu = jnp.zeros((core.cfg.nlev, core.nlat))
+        carry = (state, zu, zu, jnp.zeros(()))
+        for _ in range(n_avg):
+            carry = chunk(carry)
+        state, au, aT, c = jax.block_until_ready(carry)
+        acc_u = np.asarray(au)
+        acc_T = np.asarray(aT)
+        cnt = float(c)
+    else:
+        acc_u = np.zeros((nlev, core.nlat))
+        acc_T = np.zeros((nlev, core.nlat))
+        cnt = 0.0
+        for _ in range(n_avg // CHUNK):
+            state, au, aT, c = chunk(state)
+            acc_u += np.asarray(au)
+            acc_T += np.asarray(aT)
+            cnt += float(c)
+        jax.block_until_ready(state)
     wall = time.time() - t0
 
     ubar = acc_u / cnt      # [L, nlat], level 0 = model top
