@@ -20,6 +20,10 @@ import jax.numpy as jnp
 from sp_coupler_tpu.models.gcm import model as gm
 from sp_coupler_tpu.models.gcm import spharm
 
+
+def _roundtrip(core, x):
+    return core.sht.synthesize(core.sht.analyze(x))
+
 # OpenIFS-like level counts: coupling cases run L19/L60; TL639 production
 # uses L91 — L60 keeps the memory of three time levels under control on
 # one chip while exercising the same per-level transform batch
@@ -42,7 +46,10 @@ def bench_trunc(trunc, repeats=10):
     core = gm.GCMCore(cfg)
     state = core.initial_state(seed=1)
 
-    step = jax.jit(lambda s: core.step(s))
+    # no outer jit: the phases are jitted internally with the spectral
+    # tables threaded as arguments (TL639 tables as closure constants
+    # break the remote compile)
+    step = core.step
     state = step(state)  # compile + Euler start
     jax.block_until_ready(state)
     t0 = time.time()
@@ -56,9 +63,7 @@ def bench_trunc(trunc, repeats=10):
     sht = core.sht
     g = jnp.zeros((nlev, sht.nlat, sht.nlon), jnp.float32) + 1.0
 
-    @jax.jit
-    def roundtrip(x):
-        return sht.synthesize(sht.analyze(x))
+    roundtrip = lambda x: core.apply(_roundtrip, x)
 
     r = roundtrip(g)
     jax.block_until_ready(r)

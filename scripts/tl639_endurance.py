@@ -25,6 +25,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _inject(core, s, jet_amp):
+    """+-jet_amp m/s midlatitude jets on top of the initial state."""
+    import jax.numpy as jnp
+    from sp_coupler_tpu.models.gcm import dycore
+    g = dycore.to_grid(core.sht, core.vc, s.now)
+    lat = jnp.arcsin(core.sht.mu)[None, :, None]
+    jet = jet_amp * jnp.exp(-((jnp.abs(lat) - np.radians(45.0))
+                              / np.radians(15.0)) ** 2)
+    sig = core.vc.sf[:, None, None]
+    u = g.u + jet * jnp.exp(-((sig - 0.25) / 0.25) ** 2)
+    vort, div = core.sht.vort_div_from_uv(u, g.v)
+    now = s.now._replace(vort=vort, div=div)
+    return s._replace(now=now, prev=now)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
@@ -37,7 +52,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from sp_coupler_tpu.models.gcm import model as gm, dycore
+    from sp_coupler_tpu.models.gcm import model as gm
 
     cfg = gm.GCMConfig(trunc=args.trunc, nlev=args.nlev, dt=args.dt,
                        hybrid=True, advection="sl")
@@ -50,22 +65,12 @@ def main():
         flush=True)
 
     state = core.initial_state(seed=1)
-
-    @jax.jit
-    def inject(s):
-        g = dycore.to_grid(core.sht, core.vc, s.now)
-        lat = jnp.arcsin(core.sht.mu)[None, :, None]
-        jet = args.jet * jnp.exp(-((jnp.abs(lat) - np.radians(45.0))
-                                   / np.radians(15.0)) ** 2)
-        sig = core.vc.sf[:, None, None]
-        u = g.u + jet * jnp.exp(-((sig - 0.25) / 0.25) ** 2)
-        vort, div = core.sht.vort_div_from_uv(u, g.v)
-        now = s.now._replace(vort=vort, div=div)
-        return s._replace(now=now, prev=now)
-
-    state = inject(state)
-    state = jax.jit(lambda s: core.step(s, first=True))(state)
-    stepn = jax.jit(core.step)
+    # core.apply / the internally-jitted phases thread the ~0.5 GB TL639
+    # spectral tables as jit ARGUMENTS — an outer jax.jit here would
+    # capture them as module constants and break the remote compile
+    state = core.apply(_inject, state, jnp.asarray(args.jet, jnp.float32))
+    state = core.step(state, first=True)
+    stepn = core.step
 
     hist = []
     t0 = time.time()

@@ -74,7 +74,8 @@ class CoupledStepFn:
         if self.evolve_chunks > 1:
             return self._call_chunked(gcm_state, les_state, prev_prof,
                                       rain_last, step_idx, first, skip_half)
-        return self._jit(gcm_state, les_state, prev_prof, rain_last,
+        return self._jit(self.core.consts(), gcm_state, les_state,
+                         prev_prof, rain_last,
                          jnp.asarray(step_idx, jnp.int32), first=first,
                          skip_half=skip_half)
 
@@ -82,7 +83,7 @@ class CoupledStepFn:
                       step_idx, first, skip_half):
         dt = self.core.cfg.dt
         gcm_state, les_state, forcing, conv, prof, pre_diag = self._jit_pre(
-            gcm_state, les_state, prev_prof,
+            self.core.consts(), gcm_state, les_state, prev_prof,
             jnp.asarray(step_idx, jnp.int32), first=first,
             skip_half=skip_half)
         n_sub = jnp.zeros((self.cols.shape[0],), jnp.int32)
@@ -92,8 +93,9 @@ class CoupledStepFn:
             les_state, ns, nc = self._jit_evolve(les_state, forcing, dt / k)
             n_sub = n_sub + ns
             n_clamp = n_clamp + nc
-        return self._jit_post(gcm_state, les_state, conv, prof, rain_last,
-                              n_sub, n_clamp, pre_diag, first=first)
+        return self._jit_post(self.core.consts(), gcm_state, les_state,
+                              conv, prof, rain_last, n_sub, n_clamp,
+                              pre_diag, first=first)
 
     # ------------------------------------------------------------------
 
@@ -101,15 +103,20 @@ class CoupledStepFn:
         return jax.vmap(lambda s: ldiag.slab_profiles(self.grid, s))(
             les_state)
 
-    def _pre(self, gcm_state, les_state, prev_prof, step_idx, first,
+    def _pre(self, cst, gcm_state, les_state, prev_prof, step_idx, first,
              skip_half=False):
-        """GCM first half + gather/convert/forcings (+ nudge)."""
+        """GCM first half + gather/convert/forcings (+ nudge).
+
+        ``cst``: the GCM's big spectral tables, threaded as jit arguments
+        (GCMCore.consts — closure constants of this size break remote
+        compiles at high truncation); bound around the phase bodies."""
         core = self.core
         dt = core.cfg.dt
 
         # --- GCM first half (phase A + cloud scheme) ---
         if not skip_half:
-            gcm_state = core.phase_a(gcm_state, first)
+            with core.bound(cst):
+                gcm_state = core._phase_a_body(gcm_state, first)
             gcm_state = core.phase_cloud(gcm_state)
 
         # --- gather + convert SP columns ---
@@ -214,8 +221,8 @@ class CoupledStepFn:
         les_state = shd.constrain_fleet(les_state, mesh)
         return les_state, n_sub, n_clamp
 
-    def _post(self, gcm_state, les_state, conv, prof, rain_last, n_sub,
-              n_clamp, pre_diag, first):
+    def _post(self, cst, gcm_state, les_state, conv, prof, rain_last,
+              n_sub, n_clamp, pre_diag, first):
         """Slab diagnostics, LES -> GCM tendencies, GCM second half."""
         core, grid = self.core, self.grid
         dt = core.cfg.dt
@@ -233,7 +240,8 @@ class CoupledStepFn:
         gcm_state = core.with_sp_tendencies(gcm_state, self.cols, tend)
 
         # --- GCM second half ---
-        gcm_state = core.phase_b(gcm_state, first)
+        with core.bound(cst):
+            gcm_state = core._phase_b_body(gcm_state, first)
 
         rain = pre_diag["rain"]
         diag = dict(pre_diag)
@@ -275,11 +283,12 @@ class CoupledStepFn:
             off += n
         return jax.tree.unflatten(treedef, out)
 
-    def _step(self, gcm_state, les_state, prev_prof, rain_last, step_idx,
-              first, skip_half=False):
+    def _step(self, cst, gcm_state, les_state, prev_prof, rain_last,
+              step_idx, first, skip_half=False):
         gcm_state, les_state, forcing, conv, prof, pre_diag = self._pre(
-            gcm_state, les_state, prev_prof, step_idx, first, skip_half)
+            cst, gcm_state, les_state, prev_prof, step_idx, first,
+            skip_half)
         les_state, n_sub, n_clamp = self._evolve_to(les_state, forcing,
                                                     self.core.cfg.dt)
-        return self._post(gcm_state, les_state, conv, prof, rain_last,
+        return self._post(cst, gcm_state, les_state, conv, prof, rain_last,
                           n_sub, n_clamp, pre_diag, first)

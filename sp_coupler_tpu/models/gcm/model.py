@@ -12,6 +12,7 @@ shell holding the device-resident state pytree; the fused coupled step
 (coupling/coupler.py) calls the phase functions directly on device.
 """
 
+import contextlib
 import dataclasses
 import datetime
 import functools
@@ -93,12 +94,48 @@ class GCMCore:
         self.nlat, self.nlon = self.sht.nlat, self.sht.nlon
         self.ncols = self.nlat * self.nlon
 
+    # ---- constant threading -------------------------------------------
+    # The spectral tables are threaded through every jitted phase as
+    # ARGUMENTS (spharm.consts/bound): closure-captured tables are
+    # serialized into the lowered module, which at TL639 (~0.5 GB) breaks
+    # the remote-compile transport. `apply` runs any module-level
+    # function under jit with the tables bound the same way.
+
+    def consts(self):
+        cst = {"sht": self.sht.consts()}
+        if self.slg is not None:
+            cst["slg"] = self.slg.consts()
+        return cst
+
+    @contextlib.contextmanager
+    def bound(self, cst):
+        with contextlib.ExitStack() as st:
+            st.enter_context(self.sht.bound(cst.get("sht", {})))
+            if self.slg is not None:
+                st.enter_context(self.slg.bound(cst.get("slg", {})))
+            yield
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _apply_jit(self, cst, fn, *args):
+        with self.bound(cst):
+            return fn(self, *args)
+
+    def apply(self, fn, *args):
+        """jit-run fn(core, *args) with the big tables passed as jit
+        arguments (fn must be a module-level, hashable function)."""
+        return self._apply_jit(self.consts(), fn, *args)
+
     # ---- initial condition -------------------------------------------------
 
     def initial_state(self, seed=0) -> GCMState:
         """Jit-compiled initial state (eager op-by-op dispatch is very slow
         on remote-compile TPU backends)."""
-        return jax.jit(self._initial_state, static_argnums=0)(seed)
+        return self._initial_jit(self.consts(), seed)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _initial_jit(self, cst, seed):
+        with self.bound(cst):
+            return self._initial_state(seed)
 
     def _initial_state(self, seed=0) -> GCMState:
         sht, vc, cfg = self.sht, self.vc, self.cfg
@@ -157,8 +194,15 @@ class GCMCore:
 
     # ---- phases ------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def phase_a(self, state: GCMState, first: bool = False) -> GCMState:
+        return self._phase_a_jit(self.consts(), state, first)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _phase_a_jit(self, cst, state, first):
+        with self.bound(cst):
+            return self._phase_a_body(state, first)
+
+    def _phase_a_body(self, state: GCMState, first: bool = False) -> GCMState:
         """Dynamics step + pre-cloud physics (radiation, vdiff).
 
         evolve_model_until_cloud_scheme equivalent; model time unchanged.
@@ -213,8 +257,15 @@ class GCMCore:
             grid=grid,
             sp_tend=_zero_sp_tend(cfg.nlev, self.nlat, self.nlon))
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def phase_b(self, state: GCMState, first: bool = False) -> GCMState:
+        return self._phase_b_jit(self.consts(), state, first)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _phase_b_jit(self, cst, state, first):
+        with self.bound(cst):
+            return self._phase_b_body(state, first)
+
+    def _phase_b_body(self, state: GCMState, first: bool = False) -> GCMState:
         """Apply SP tendencies, re-analyze, time-filter, advance the clock.
 
         evolve_model_from_cloud_scheme equivalent.

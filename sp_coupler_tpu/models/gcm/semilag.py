@@ -30,6 +30,8 @@ TPU mapping:
   the P3 mesh (spharm.constrain_grid at the transform boundaries).
 """
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,6 +68,26 @@ class SLGrid:
         self.e = jnp.asarray(e, jnp.float32)
         self.n = jnp.asarray(n, jnp.float32)
         self.cosphi = jnp.asarray(cph, jnp.float32)      # [nlat, nlon]
+
+    # ---- constant threading (see spharm.SpectralTransform.consts) -----
+    _CONST_KEYS = ("e", "n", "r")
+
+    def consts(self):
+        return {k: getattr(self, k) for k in self._CONST_KEYS}
+
+    @contextlib.contextmanager
+    def bound(self, c):
+        if not c:
+            yield
+            return
+        old = {k: getattr(self, k) for k in c}
+        for k, v in c.items():
+            setattr(self, k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
 
     # ---- extension + interpolation ------------------------------------
 

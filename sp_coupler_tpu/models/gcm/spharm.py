@@ -34,6 +34,7 @@ grid-space work against the alias-free grid with zero raggedness. The
 minority of the step is not worth making every hot loop shape-dynamic.
 """
 
+import contextlib
 import functools
 
 import numpy as np
@@ -207,6 +208,32 @@ class SpectralTransform:
         inv[nz] = -(radius ** 2) / (n_idx * (n_idx + 1))[nz]
         self.inv_laplacian = jnp.asarray(inv * tri, rdtype)
         self._build_dft(rdtype)
+
+    # ---- constant threading ------------------------------------------------
+    # Closure-captured jnp arrays are serialized into every lowered module;
+    # at TL639 the Legendre tables are ~0.5 GB and break the remote-compile
+    # transport. Callers that jit whole steps thread these through as
+    # ARGUMENTS instead: grab them with consts() and re-bind the live
+    # tracers around the traced body with bound() (GCMCore does this for
+    # all its jitted phases).
+    _CONST_KEYS = ("Pe", "Po", "Ffwd", "Finv")
+
+    def consts(self):
+        return {k: getattr(self, k) for k in self._CONST_KEYS}
+
+    @contextlib.contextmanager
+    def bound(self, c):
+        if not c:
+            yield
+            return
+        old = {k: getattr(self, k) for k in c}
+        for k, v in c.items():
+            setattr(self, k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
 
     # ---- packing helpers ---------------------------------------------------
 
