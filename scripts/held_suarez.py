@@ -87,16 +87,28 @@ def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
                 return core.step(s), None
             s, _ = jax.lax.scan(body, state, None, length=CHUNK)
             return s
+    def sync(x):
+        # tiny FETCH, not block_until_ready: on the tunneled backend a
+        # block costs ~6 s flat while a scalar fetch completes in ms;
+        # either way this bounds the async dispatch queue, which wedges
+        # at hundreds of enqueued executions
+        np.asarray(x[(0,) * x.ndim])
+
     t0 = time.time()
-    for _ in range(n_spin // CHUNK):
+    for i in range(n_spin // CHUNK):
         state = chunk_nostat(state)
-    jax.block_until_ready(state)
+        if i % 16 == 15:
+            sync(state.now.vort)
+    sync(state.now.vort)
     if CHUNK == 1:
         zu = jnp.zeros((core.cfg.nlev, core.nlat))
         carry = (state, zu, zu, jnp.zeros(()))
-        for _ in range(n_avg):
+        for i in range(n_avg):
             carry = chunk(carry)
-        state, au, aT, c = jax.block_until_ready(carry)
+            if i % 16 == 15:
+                sync(carry[0].now.vort)
+        state, au, aT, c = carry
+        sync(aT)
         acc_u = np.asarray(au)
         acc_T = np.asarray(aT)
         cnt = float(c)
@@ -179,6 +191,7 @@ def check(stats):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", type=int, default=100)
+    ap.add_argument("--spinup_days", type=int, default=20)
     ap.add_argument("--trunc", type=int, default=42)
     ap.add_argument("--advection", default="sl")
     ap.add_argument("--chunk", type=int, default=0,
@@ -187,6 +200,7 @@ def main():
         REPO, "sp_coupler_tpu", "verify", "HELD_SUAREZ.md"))
     args = ap.parse_args()
     r = run(trunc=args.trunc, days=args.days,
+            spinup_days=args.spinup_days,
             advection=args.advection, chunk=args.chunk or None)
     stats = analyze(r)
     ok = check(stats)

@@ -77,6 +77,10 @@ def main():
     bad_at = None
     for i in range(args.steps):
         state = stepn(state)
+        if (i + 1) % 8 == 0:
+            # tiny fetch: bounds the async dispatch queue (the tunneled
+            # runtime wedges under deep unsynced queues) at ~ms cost
+            np.asarray(state.now.vort[0, 0, 0, 0])
         if (i + 1) % 50 == 0 or i + 1 == args.steps:
             u = np.asarray(state.grid.u)
             T = np.asarray(state.grid.T)
