@@ -230,6 +230,12 @@ class GCMCore:
         du, dv, dT_vd, dq_vd = physics.vertical_diffusion(
             vc, grid.u, grid.v, grid.T, grid.q, sfc, dz, cfg.phys,
             state.vdiff_mask)
+        if cfg.phys.rayleigh_tau > 0.0:
+            # HS94 boundary-layer Rayleigh friction (benchmark config)
+            kf = (1.0 / cfg.phys.rayleigh_tau) * jnp.clip(
+                (vc.sf[:, None, None] - 0.7) / 0.3, 0.0, 1.0)
+            du = du - kf * grid.u
+            dv = dv - kf * grid.v
         grid = grid._replace(
             u=grid.u + cfg.dt * du,
             v=grid.v + cfg.dt * dv,

@@ -46,6 +46,13 @@ class PhysicsParams(NamedTuple):
     rh_crit: float = 0.85             # Sundqvist critical relative humidity
     tau_cond: float = 900.0           # condensation adjustment time (s)
     tau_cld: float = 3.0 * 3600.0     # cloud fraction relaxation time
+    rayleigh_tau: float = 0.0         # HS94 boundary-layer Rayleigh
+                                      # friction timescale (s); 0 = off
+                                      # (production runs use the bulk
+                                      # surface drag + K-diffusion PBL
+                                      # instead). The Held-Suarez check
+                                      # sets 86400 with dtheta_z=10 for
+                                      # the canonical dry benchmark.
 
 
 def equilibrium_temperature(p, lat_rad, prm: PhysicsParams):
