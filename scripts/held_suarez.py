@@ -52,7 +52,16 @@ def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
     core = gm.GCMCore(cfg)
     state = core.initial_state(seed=seed)
     state = state._replace(vdiff_mask=jnp.zeros_like(state.vdiff_mask))
-    state = jax.jit(lambda s: core.step(s, first=True))(state)
+    # HS94 is a DRY benchmark: with dtheta_z=10 the moist initial column
+    # is conditionally unstable, and with the PBL mixing masked off the
+    # resulting grid-scale moist convection destroys the run. Zero all
+    # moisture species (no surface source exists here, so they stay 0).
+    dry = state.now._replace(q=jnp.zeros_like(state.now.q),
+                             ql=jnp.zeros_like(state.now.ql),
+                             qi=jnp.zeros_like(state.now.qi),
+                             a=jnp.zeros_like(state.now.a))
+    state = state._replace(now=dry, prev=dry, new=dry)
+    state = core.step(state, first=True)
 
     steps_per_day = int(round(86400.0 / dt))
     n_spin = spinup_days * steps_per_day
@@ -65,18 +74,18 @@ def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
     n_avg = max((n_avg // CHUNK) * CHUNK, CHUNK)
 
     if CHUNK == 1:
-        # no lax.scan: XLA's compile time for a scanned SL body is
-        # pathological on the remote TPU backend (a single step compiles
-        # in ~1 min; a scan of 6 did not finish in 30). Host loop with
-        # device-resident accumulators; dispatch adds ~tens of ms/step.
-        @jax.jit
+        # NO outer jit at all on remote backends: composite programs
+        # (outer jit over the three inner-jitted phases, or lax.scan of
+        # the step) wedge the tunneled compile/execute pipeline. Each
+        # phase runs as its own already-compiled program; the zonal-mean
+        # accumulation runs as tiny eager device ops.
         def chunk(carry):
             s, acc_u, acc_T, cnt = carry
             s = core.step(s)
             return (s, acc_u + s.grid.u.mean(axis=2),
                     acc_T + s.grid.T.mean(axis=2), cnt + 1)
 
-        chunk_nostat = jax.jit(core.step)
+        chunk_nostat = core.step
     else:
         @jax.jit
         def chunk(state):
