@@ -132,12 +132,14 @@ class SPConfig:
                                        # goes non-finite (failure detection)
     jax_profile: bool = False          # capture a jax profiler trace of
                                        # one coupled step into output_dir
-    timing_phases: bool = False        # sample the fused step's per-phase
-                                       # device times once (step 2) into a
-                                       # timing.txt comment (the phase
-                                       # columns of the reference's
-                                       # timing.txt live inside ONE device
-                                       # program here)
+    timing_phases: int = 25            # every N-th fused step runs as the
+                                       # pre/evolve/post phase programs
+                                       # (same math; outputs ARE the
+                                       # trajectory) with host barriers, so
+                                       # timing.txt regains real per-phase
+                                       # columns at that cadence (reference
+                                       # splib.py:340-343); 0 = off, 1 =
+                                       # every step
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -97,6 +97,37 @@ class CoupledStepFn:
                               conv, prof, rain_last, n_sub, n_clamp,
                               pre_diag, first=first)
 
+    def call_phased(self, gcm_state, les_state, prev_prof, rain_last,
+                    step_idx, first=False, skip_half=False):
+        """One coupled step through the pre / evolve / post programs with a
+        host barrier after each: returns (out, (t_pre, t_ev, t_post)).
+
+        Same math as the fused program (``_step`` is exactly
+        pre+evolve+post), so the outputs ARE the production trajectory —
+        the driver routes every N-th step through here to regain the
+        reference's per-phase timing.txt columns (splib.py:340-343)
+        without duplicating any compute."""
+        import time as _time
+        cst = self.core.consts()
+        sidx = jnp.asarray(step_idx, jnp.int32)
+        t0 = _time.time()
+        pre = jax.block_until_ready(self._jit_pre(
+            cst, gcm_state, les_state, prev_prof, sidx, first=first,
+            skip_half=skip_half))
+        t_pre = _time.time() - t0
+        gcm_state, les_state, forcing, conv, prof, pre_diag = pre
+        t0 = _time.time()
+        les_state, n_sub, n_clamp = jax.block_until_ready(
+            self._jit_evolve(les_state, forcing, self.core.cfg.dt))
+        t_ev = _time.time() - t0
+        t0 = _time.time()
+        out = jax.block_until_ready(self._jit_post(
+            cst, gcm_state, les_state, conv, prof,
+            jnp.asarray(rain_last, jnp.float32), n_sub, n_clamp,
+            pre_diag, first=first))
+        t_post = _time.time() - t0
+        return out, (t_pre, t_ev, t_post)
+
     # ------------------------------------------------------------------
 
     def _les_profiles(self, les_state):
@@ -170,8 +201,13 @@ class CoupledStepFn:
             qt_new = jnp.where(apply_nudge, res.qt, les_state.qt)
             thl_new = jnp.where(apply_nudge, res.thl, les_state.thl)
             les_state = les_state._replace(qt=qt_new, thl=thl_new)
-            pre_diag.update(qt_alpha=res.alpha, qt_beta=res.beta,
-                            qt_std=res.qt_std)
+            # diagnostics zeroed when the nudge is not applied (first
+            # step), matching the generic path which skips the nudge
+            # entirely there (driver._variability_nudge: fleet.time <= 0)
+            mask = lambda x: jnp.where(apply_nudge, x, jnp.zeros_like(x))
+            pre_diag.update(qt_alpha=mask(res.alpha),
+                            qt_beta=mask(res.beta),
+                            qt_std=mask(res.qt_std))
         return gcm_state, les_state, forcing, conv, prof, pre_diag
 
     def _evolve_to(self, les_state, forcing, dt_frac):

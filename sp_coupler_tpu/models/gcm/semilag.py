@@ -112,18 +112,25 @@ class SLGrid:
 
     @staticmethod
     def _lagrange(x, nodes):
-        """Lagrange weights of `x` on `nodes` [..., k] -> [..., k]."""
-        k = nodes.shape[-1]
+        """Lagrange weights of `x` on `nodes` (list of k arrays shaped
+        like x) -> list of k weight arrays.
+
+        Taps and weights are kept as PER-TAP LISTS, never stacked on a
+        trailing size-k axis: a [K, P, k] array with k in {2, 4}
+        minormost gets tiled to (8, 128) lanes on TPU — 64x/32x HBM
+        padding, which at TL639 (P = 640*1280) turned a 119 MB gather
+        into a 7.4 GB allocation and OOMed the chip."""
+        k = len(nodes)
         w = []
         for l in range(k):
             num, den = 1.0, 1.0
             for m in range(k):
                 if m == l:
                     continue
-                num = num * (x - nodes[..., m])
-                den = den * (nodes[..., l] - nodes[..., m])
+                num = num * (x - nodes[m])
+                den = den * (nodes[l] - nodes[m])
             w.append(num / den)
-        return jnp.stack(w, axis=-1)
+        return w
 
     def interp(self, fields, lam_t, phi_t, cubic=True):
         """Interpolate a stack of fields at target points.
@@ -144,23 +151,24 @@ class SLGrid:
         xi = lam_f / self.dlon
         i1 = jnp.floor(xi).astype(jnp.int32)
         t = xi - i1                                       # in [0, 1)
+        # per-tap LISTS of [K, P] arrays (see _lagrange: a trailing
+        # size-k axis would be lane-padded 64x/32x on TPU)
         if cubic:
             tt = t
-            wlon = jnp.stack([
+            wlon = [
                 -tt * (tt - 1.0) * (tt - 2.0) / 6.0,
                 (tt * tt - 1.0) * (tt - 2.0) / 2.0,
                 -tt * (tt + 1.0) * (tt - 2.0) / 2.0,
-                tt * (tt * tt - 1.0) / 6.0], axis=-1)     # [K, P, 4]
+                tt * (tt * tt - 1.0) / 6.0]
             di0 = -1
         else:
-            wlon = jnp.stack([1.0 - t, t], axis=-1)
+            wlon = [1.0 - t, t]
             di0 = 0
 
         # ---- latitude taps + weights (non-uniform Gaussian nodes)
         j0 = self._lat_taps(phi_f, k)                     # [K, P]
-        offs = jnp.arange(k)
-        nodes = self.phi_ext[j0[..., None] + offs]        # [K, P, k]
-        wlat = self._lagrange(phi_f, nodes)               # [K, P, k]
+        nodes = [self.phi_ext[j0 + l] for l in range(k)]  # k x [K, P]
+        wlat = self._lagrange(phi_f, nodes)               # k x [K, P]
 
         ext = self.extend(fields)                         # [F, K, J_ext, nlon]
         ext_flat = ext.reshape(F, K, -1)                  # [F, K, J_ext*nlon]
@@ -174,7 +182,7 @@ class SLGrid:
                 vals = jnp.take_along_axis(
                     ext_flat, jnp.broadcast_to(idx, (F,) + idx.shape[1:]),
                     axis=-1)
-                out = out + vals * (wlat[..., dj] * wlon[..., di])[None]
+                out = out + vals * (wlat[dj] * wlon[di])[None]
         return out.reshape((F, K, self.nlat, self.nlon))
 
     # ---- trajectories ---------------------------------------------------

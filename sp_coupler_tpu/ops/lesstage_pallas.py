@@ -501,18 +501,22 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     iex_0 = iex_e[E:E + bz]
     lheat = (1.0 - fi_0) * c.rlv + fi_0 * c.rls
     dthl = dthl - lheat / c.cp * iex_0 * evap
-    # sedimentation flux at cells g and g+1 (flux = rho vt qr, downward)
-    qr_p1 = qr_e[E + 1:E + bz + 1]
-    T_p1 = T_e[E + 1:E + bz + 1]
-    fi_p1 = jnp.clip((c.tmelt - T_p1) / (c.tmelt - 250.0), 0.0, 1.0)
-    rq_0 = jnp.maximum(rf * qr_0, 0.0)
-    rq_p1 = jnp.maximum(rf_p1 * qr_p1, 0.0)
-    vt_0 = ((1.0 - fi_0) * sed_a * rq_0 ** sed_b
-            + fi_0 * sed_ai * rq_0 ** sed_bi)
-    vt_p1 = ((1.0 - fi_p1) * sed_a * rq_p1 ** sed_b
-             + fi_p1 * sed_ai * rq_p1 ** sed_bi)
-    flux_0 = rf * vt_0 * jnp.maximum(qr_0, 0.0)
-    flux_p1 = rf_p1 * vt_p1 * jnp.maximum(qr_p1, 0.0)
+    # sedimentation flux at cells g and g+1 (flux = rho vt qr, downward).
+    # vt is evaluated ONCE on the union range [g, g+bz] and sliced for the
+    # g / g+1 views: the two power laws are the most expensive VPU ops in
+    # the stage, and the separate vt_0 / vt_p1 evaluations of r03
+    # duplicated all 4 pows on bz-1 of bz+1 planes (same expressions,
+    # bitwise-identical results)
+    qr_u = qr_e[E:E + bz + 1]               # rows g .. g+bz
+    T_u = T_e[E:E + bz + 1]
+    rf_u = prof(P_RHOF, 0, 1)               # rhobf[g] .. rhobf[g+bz]
+    fi_u = jnp.clip((c.tmelt - T_u) / (c.tmelt - 250.0), 0.0, 1.0)
+    rq_u = jnp.maximum(rf_u * qr_u, 0.0)
+    vt_u = ((1.0 - fi_u) * sed_a * rq_u ** sed_b
+            + fi_u * sed_ai * rq_u ** sed_bi)
+    flux_u = rf_u * vt_u * jnp.maximum(qr_u, 0.0)
+    flux_0 = flux_u[:bz]
+    flux_p1 = flux_u[1:]
     flux_p1 = jnp.where(g0 == nz - 1, f32(0.0), flux_p1)
     dqr_sed = (flux_p1 - flux_0) * irf
     mdqr = jnp.maximum(mdqr + dqr_sed, -jnp.maximum(qr_0, 0.0) / dtv)

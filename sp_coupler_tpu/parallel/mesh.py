@@ -130,12 +130,23 @@ def shard_fleet(state, mesh, spatial=False):
 
 
 def replicate(tree, mesh):
-    """Replicate a pytree across the mesh (GCM state on every device)."""
+    """Replicate a pytree across the mesh (GCM state on every device).
+
+    Multi-controller: host-visible (addressable) leaves are promoted via
+    a host copy + global device_put; leaves already sharded over the
+    global mesh (e.g. a lat-band-sharded GCM state) cannot be fetched to
+    host, so they are re-laid-out on device by an identity jit with a
+    replicated out_sharding (XLA inserts the all-gather)."""
     nd = NamedSharding(mesh, P())
     multiproc = jax.process_count() > 1
-    return jax.tree.map(
-        lambda x: jax.device_put(np.asarray(x) if multiproc else x, nd),
-        tree)
+
+    def put(x):
+        if (multiproc and isinstance(x, jax.Array)
+                and not x.is_fully_addressable):
+            return jax.jit(lambda a: a, out_shardings=nd)(x)
+        return jax.device_put(np.asarray(x) if multiproc else x, nd)
+
+    return jax.tree.map(put, tree)
 
 
 def local_les_positions(mesh, n_les):

@@ -576,8 +576,10 @@ class SPRunner:
                     "# LES grid points\n"
                     + " ".join(str(cix) for cix in self.sp_cols)
                     + "\n# timing data"
-                    + " (fused path: phase cols are zeros — one device"
-                    " program; extra trailing col = host IO)\n")
+                    + " (fused path: phase cols zero except every"
+                    " timing_phases-th step, where gcm_half1 col ="
+                    " pre phase, gcm_half2 col = post phase, per-LES"
+                    " cols = evolve; extra trailing col = host IO)\n")
                 self._timing_header_done = True
 
     def _check_finite_profiles(self, profiles):
@@ -678,45 +680,6 @@ class SPRunner:
                 self.writer.write_column(col, **kwargs)
         self.writer.sync()
 
-    def _sample_phase_times(self, prev_prof, skip, first):
-        """One-shot per-phase device timing of the fused step.
-
-        Runs the SAME phase functions the fused program is built from
-        (pre / evolve / post, coupler.py) once on the current inputs,
-        timing each, then discards the outputs — the production
-        trajectory continues through the single fused program untouched.
-        Written as a comment line into timing.txt (the reference's
-        per-phase columns, splib.py:340-343, live inside one device
-        program here and are otherwise not separable host-side)."""
-        import jax as _jax
-        c = self.coupled
-        try:
-            t0 = time.time()
-            pre = _jax.block_until_ready(c._jit_pre(
-                self.gcm.state, self.fleet.state, prev_prof,
-                np.asarray(self.gcm.step_count, np.int32), first=first,
-                skip_half=skip))
-            t_pre = time.time() - t0
-            g2, l2, forcing, conv, prof2, pre_diag = pre
-            t0 = time.time()
-            l3, ns, ncl = _jax.block_until_ready(
-                c._jit_evolve(l2, forcing, c.core.cfg.dt))
-            t_ev = time.time() - t0
-            t0 = time.time()
-            _jax.block_until_ready(c._jit_post(
-                g2, l3, conv, prof2,
-                np.asarray(self.rain_last, np.float32), ns, ncl,
-                pre_diag, first=first))
-            t_post = time.time() - t0
-            self.timing_file.write(
-                "# phase sample (step %d): gcm1+gather+forcings %.3f s, "
-                "les evolve %.3f s, tendencies+gcm2 %.3f s (incl "
-                "compile on first sample)\n"
-                % (self.step_index, t_pre, t_ev, t_post))
-            self.timing_file.flush()
-        except Exception as e:  # sampling must never kill a run
-            log.warning("phase-time sampling failed: %s", e)
-
     def _step_fused(self):
         """One coupled step through the fused jitted program."""
         cfg = self.cfg
@@ -730,18 +693,30 @@ class SPRunner:
         prev_prof = getattr(self, "_fused_prof", None)
         if prev_prof is None:
             prev_prof = self.fleet.get_profiles()
-        if (cfg.timing_phases and self.step_index == 2
-                and self.coupled.evolve_chunks == 1
-                and jax.process_count() == 1):
-            self._sample_phase_times(prev_prof, skip, self.gcm._first)
-            start = time.time()
         # `first` follows the GCM's Euler-start bookkeeping (not the
         # coupling firststep flag: after a spinup the GCM is still on its
         # first leapfrog step while profiles already exist)
-        out = self.coupled(self.gcm.state, self.fleet.state, prev_prof,
-                           np.asarray(self.rain_last, np.float32),
-                           self.gcm.step_count, first=self.gcm._first,
-                           skip_half=skip)  # async dispatch
+        #
+        # Every cfg.timing_phases-th step runs through the SAME step split
+        # into its pre/evolve/post programs with host barriers, restoring
+        # the reference's per-phase timing columns (splib.py:340-343) at
+        # that cadence with no duplicated compute. Deterministic on
+        # step_index, so multi-controller processes stay in lockstep.
+        n_ph = int(cfg.timing_phases or 0)
+        phase_t = None
+        if (n_ph > 0 and self.step_index > 0
+                and self.step_index % n_ph == 0
+                and self.coupled.evolve_chunks == 1):
+            out, phase_t = self.coupled.call_phased(
+                self.gcm.state, self.fleet.state, prev_prof,
+                np.asarray(self.rain_last, np.float32),
+                self.gcm.step_count, first=self.gcm._first,
+                skip_half=skip)
+        else:
+            out = self.coupled(self.gcm.state, self.fleet.state, prev_prof,
+                               np.asarray(self.rain_last, np.float32),
+                               self.gcm.step_count, first=self.gcm._first,
+                               skip_half=skip)  # async dispatch
         gcm_state, les_state, prof, rain, diag = out
         self.gcm.state = gcm_state
         self.gcm.step_count += 1
@@ -778,15 +753,24 @@ class SPRunner:
         self._write_cross(t + dt)
         step_wall = time.time() - start - max(io_wall, 0.0)
         n = max(len(self.sp_cols), 1)
-        # fused path: the reference's phase columns (gcm1/gather/forcings/
-        # tendencies/gcm2) all live inside ONE device program and are not
-        # separable host-side -> written as zeros; per-LES columns carry
-        # the fused step wall split evenly; host IO goes into the extra
-        # trailing column declared in the header.
-        line = ("%10.2f %6.2f %6.2f %6.2f %6.2f %6.2f " % (
-            start, 0.0, 0.0, 0.0, 0.0, 0.0)
-            + " ".join("%6.2f" % (step_wall / n) for _ in self.sp_cols)
-            + " %6.2f\n" % io_wall)
+        # fused path: on unsampled steps the reference's phase columns
+        # (gcm1/gather/forcings/tendencies/gcm2) live inside ONE device
+        # program -> zeros, per-LES columns carry the fused step wall split
+        # evenly. Every cfg.timing_phases-th step ran as pre/evolve/post
+        # with barriers: gcm_half1 column = pre (gcm1+gather+forcings),
+        # gcm_half2 column = post (tendencies+gcm2), per-LES columns =
+        # evolve split evenly. Host IO = extra trailing column.
+        if phase_t is not None:
+            t_pre, t_ev, t_post = phase_t
+            line = ("%10.2f %6.2f %6.2f %6.2f %6.2f %6.2f " % (
+                start, t_pre, 0.0, 0.0, 0.0, t_post)
+                + " ".join("%6.2f" % (t_ev / n) for _ in self.sp_cols)
+                + " %6.2f\n" % io_wall)
+        else:
+            line = ("%10.2f %6.2f %6.2f %6.2f %6.2f %6.2f " % (
+                start, 0.0, 0.0, 0.0, 0.0, 0.0)
+                + " ".join("%6.2f" % (step_wall / n) for _ in self.sp_cols)
+                + " %6.2f\n" % io_wall)
         self.timing_file.write(line)
         self.timing_file.flush()
         self.firststep = False

@@ -254,6 +254,66 @@ class TestFusedPath:
         ds.close()
 
 
+class TestFusedVsGeneric:
+    """VERDICT r3 #4: the fused CoupledStepFn feature branches
+    (qt_variance, cplsurf) vs the generic non-fused driver path — same
+    native models, same config; the spifs.nc records must agree,
+    including the branch-specific diagnostics (nudge alpha/beta/std,
+    surface-coupling pack/unpack)."""
+
+    def _run(self, tmp_path, name, fused, **kw):
+        base = dict(gcm_type="sptpu", les_type="sptpu",
+                    gcm_truncation=10, gcm_levels=8, gcm_dt=600.0,
+                    les_itot=16, les_jtot=16, les_ktot=24,
+                    les_xsize=3200.0, les_ysize=3200.0, les_dz=100.0,
+                    les_dt=5.0, timing_phases=0)
+        base.update(kw)
+        cfg = SPConfig(output_dir=str(tmp_path / name), **base)
+        r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
+        r.initialize()
+        assert r.coupled is not None
+        if not fused:
+            r.coupled = None       # force the generic path
+        r.run(3)
+        r.finalize(save_restart=False)
+        ds = spifs.open_reader(cfg.output_path)
+        g = ds.groups[str(r.sp_cols[0])]
+        out = {k: np.asarray(g.variables[k][...]) for k in g.variables}
+        ds.close()
+        return out
+
+    def _compare(self, fus, gen, extra_vars):
+        for var in ("thl", "qt", "f_T", "f_SH", "f_u", "f_thl",
+                    "A_d") + extra_vars:
+            a, b = fus[var], gen[var]
+            assert a.shape == b.shape, var
+            assert np.all(np.isfinite(a)), var
+            # both paths integrate the same physics through different
+            # program partitions (one fused XLA program vs host-chained
+            # jits); f32 fusion differences grow through the LES substeps,
+            # so the gate is "same field, same magnitude", not bitwise
+            scale = max(np.abs(a).max(), np.abs(b).max(), 1e-12)
+            assert np.abs(a - b).max() <= 5e-3 * scale + 1e-9, (
+                var, np.abs(a - b).max(), scale)
+
+    def test_fused_vs_generic_qt_variance(self, tmp_path):
+        kw = dict(qt_forcing="variance")
+        fus = self._run(tmp_path, "fused", True, **kw)
+        gen = self._run(tmp_path, "generic", False, **kw)
+        self._compare(fus, gen, ("qt_alpha", "qt_beta", "qt_std"))
+        # the nudge actually engaged: beta written on post-first steps
+        assert np.any(fus["qt_beta"][1:] != 0.0)
+
+    def test_fused_vs_generic_cplsurf(self, tmp_path):
+        kw = dict(cplsurf=True)
+        fus = self._run(tmp_path, "fused", True, **kw)
+        gen = self._run(tmp_path, "generic", False, **kw)
+        self._compare(fus, gen, ("z0m", "z0h", "wthl", "wqt",
+                                 "SHflux", "TSflux", "QLflux"))
+        # surface fluxes reached the LES (non-trivial values)
+        assert np.any(fus["wthl"] != 0.0) or np.any(fus["wqt"] != 0.0)
+
+
 class TestChunkedEvolve:
     def test_chunked_matches_monolithic(self, tmp_path):
         """les_evolve_chunks=3 gives the same trajectory as one program

@@ -95,6 +95,7 @@ class TestGoldenStructure:
 
 
 @needs_golden
+@pytest.mark.slow
 class TestGoldenReplay:
     """Replay the golden through the coupling layer (ncmod mechanism)."""
 

@@ -152,17 +152,22 @@ class TestGCMSpectralSharding:
 
 class TestScalingEfficiency:
     def test_fixed_work_efficiency_structural(self):
-        """BASELINE metric 3 harness: with fixed total work, growing the
-        mesh must not add visible sharding/collective overhead (>= 0.8;
-        virtual CPU devices share host cores, so this is the structural
-        bound the CI environment can measure — scalebench.measure)."""
+        """BASELINE metric 3 harness: with fixed total work, the sharded
+        program must reach >= 0.8 of the same-size unpartitioned ideal
+        (m independent per-device programs on the SAME devices — identical
+        core budget, so efficiency is <= 1 by construction and genuine
+        partitioner/collective overhead can actually fail the gate;
+        VERDICT r3 next-round #3)."""
         from sp_coupler_tpu.runtime import scalebench
         r = scalebench.measure(sizes=[1, 4], per_dev=1, nx=16, ny=16,
                                nz=24, substeps=4, reps=2, verbose=False,
                                mode="fixed")
-        assert r["efficiency"]["4"] >= 0.8, r
+        eff = r["efficiency"]
+        assert all(v <= 1.0 for v in eff.values()), r
+        assert eff["4"] >= 0.8, r
 
 
+@pytest.mark.slow
 class TestProductionPlaneSharding:
     """VERDICT r2 item 8: spatial (x, y) sharding at the PRODUCTION plane
     size — one 64x64x160 instance (the BASELINE case grid) split 2x2 —
