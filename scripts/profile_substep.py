@@ -31,8 +31,16 @@ def timeit(name, fn, *args, n=20):
 
 
 def main():
-    n_les = 2
-    grid = lgrid.LESGrid()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--ny", type=int, default=64)
+    ap.add_argument("--nz", type=int, default=160)
+    args = ap.parse_args()
+    n_les = args.n
+    grid = lgrid.LESGrid(nx=args.nx, ny=args.ny, nz=args.nz,
+                         dx=200.0, dy=200.0, dz=25.0)
     phys = lstep.LESPhysics(use_pallas=jax.default_backend() == "tpu")
     print("backend:", jax.default_backend(), " pallas:", phys.use_pallas)
 

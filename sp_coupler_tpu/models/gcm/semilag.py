@@ -173,16 +173,33 @@ class SLGrid:
         ext = self.extend(fields)                         # [F, K, J_ext, nlon]
         ext_flat = ext.reshape(F, K, -1)                  # [F, K, J_ext*nlon]
 
-        out = jnp.zeros((F, K, lam_f.shape[-1]), fields.dtype)
-        for dj in range(k):
+        # taps accumulated under lax.scan with the gather index computed
+        # INSIDE the body: an unrolled k*k loop keeps all 16 index
+        # buffers and gather temporaries live at once, which at TL639
+        # fragmented HBM by ~9.5 GB (67% fragmentation) and OOMed, and
+        # pre-stacked [k2, K, P] index/weight arrays cost 2.4 GB of scan
+        # inputs at that size. Per-tap weights index the small [k, K, P]
+        # leading-axis stacks (layout-safe). Summation order is identical
+        # to the unrolled loop (bitwise-same result). Indices are in
+        # bounds by construction (j0 clipped, col wrapped) ->
+        # promise_in_bounds skips the clamp/select of the default mode.
+        wlat_s = jnp.stack(wlat)                          # [k, K, P]
+        wlon_s = jnp.stack(wlon)                          # [k, K, P]
+
+        def tap(acc, t):
+            dj = t // k
+            di = t % k
             row = (j0 + dj) * self.nlon                   # [K, P]
-            for di in range(k):
-                col = jnp.remainder(i1 + di0 + di, self.nlon)
-                idx = (row + col)[None]                   # [1, K, P]
-                vals = jnp.take_along_axis(
-                    ext_flat, jnp.broadcast_to(idx, (F,) + idx.shape[1:]),
-                    axis=-1)
-                out = out + vals * (wlat[dj] * wlon[di])[None]
+            col = jnp.remainder(i1 + di0 + di, self.nlon)
+            idx = row + col
+            w = wlat_s[dj] * wlon_s[di]
+            vals = jnp.take_along_axis(
+                ext_flat, jnp.broadcast_to(idx[None], (F,) + idx.shape),
+                axis=-1, mode="promise_in_bounds")
+            return acc + vals * w[None], None
+
+        out = jnp.zeros((F, K, lam_f.shape[-1]), fields.dtype)
+        out, _ = jax.lax.scan(tap, out, jnp.arange(k * k))
         return out.reshape((F, K, self.nlat, self.nlon))
 
     # ---- trajectories ---------------------------------------------------

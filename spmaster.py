@@ -24,6 +24,8 @@ LES_TYPES = ["sptpu", "dales", "dummy", "ncfile"]
 
 
 def readable_dir(dirname):
+    if not dirname:
+        return dirname   # unset default: the native models need no deck dir
     if not os.path.isdir(dirname):
         raise argparse.ArgumentTypeError("%s is not a directory" % dirname)
     if not os.access(dirname, os.R_OK):
@@ -40,14 +42,19 @@ def build_parser(defaults: SPConfig):
     p.add_argument("--conf", dest="conf", metavar="FILE.json", type=str,
                    default=None, help="Configuration file")
     p.add_argument("--lesdir", dest="les_input_dir", metavar="DIR",
-                   type=str, default=defaults.les_input_dir,
+                   type=readable_dir, default=defaults.les_input_dir,
                    help="LES input directory")
     p.add_argument("--lestype", dest="les_type", metavar="TYPE",
                    choices=LES_TYPES, default=defaults.les_type,
                    help="LES model type")
     p.add_argument("--les_dt", dest="les_dt", metavar="dt", type=float,
                    default=defaults.les_dt,
-                   help="LES substep (s); <0 = auto from CFL")
+                   help="LES max substep (s); <0 = auto from CFL. "
+                        "DEVIATION from the reference: there --les_dt is "
+                        "the DALES statistics save interval (reference "
+                        "spmaster.py:113-117); here the native LES "
+                        "substep cap (statistics cadence is set by "
+                        "--les_cross_dtav)")
     p.add_argument("--spinup", dest="les_spinup", metavar="T", type=float,
                    default=defaults.les_spinup,
                    help="LES spinup time before the GCM start (s)")
@@ -58,8 +65,9 @@ def build_parser(defaults: SPConfig):
                    metavar="f", type=float,
                    default=defaults.les_spinup_forcing_factor,
                    help="Forcing strength during LES spinup")
-    p.add_argument("--gcmdir", dest="gcm_input_dir", metavar="DIR", type=str,
-                   default=defaults.gcm_input_dir, help="GCM input directory")
+    p.add_argument("--gcmdir", dest="gcm_input_dir", metavar="DIR",
+                   type=readable_dir, default=defaults.gcm_input_dir,
+                   help="GCM input directory")
     p.add_argument("--gcmtype", dest="gcm_type", metavar="TYPE",
                    choices=GCM_TYPES, default=defaults.gcm_type,
                    help="GCM model type")
