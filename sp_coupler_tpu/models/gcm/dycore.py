@@ -257,15 +257,25 @@ def semi_implicit_step(sht, vc, now: SpectralState, prev: SpectralState,
     return new
 
 
-def hyperdiffuse(sht, s: SpectralState, dt, tau=3600.0 * 4):
-    """Implicit del^4 damping; smallest resolved scale damped at rate 1/tau."""
+def hyperdiffuse(sht, s: SpectralState, dt, tau=3600.0 * 4,
+                 damp_lnps=False):
+    """Implicit del^4 damping; smallest resolved scale damped at rate 1/tau.
+
+    damp_lnps: also damp the surface-pressure field. The Eulerian path
+    computes lnps tendencies spectrally and needs no lnps diffusion
+    (matching common practice), but the semi-Lagrangian path injects
+    grid-scale interpolation noise into lnps every step; with no sink it
+    accumulates until the hybrid pressure field destabilizes the run
+    (observed in the HS94 T42 climatology: ps range drifting to
+    920..1140 hPa by day 23, NaN later — round-3 FAIL)."""
     lam_max = sht.trunc * (sht.trunc + 1) / sht.radius ** 2
     nu = 1.0 / (tau * lam_max ** 2)
     fac = 1.0 / (1.0 + dt * nu * sht.laplacian ** 2)
     fac = fac[..., None]
     damp = lambda x: x * fac
     return SpectralState(vort=damp(s.vort), div=damp(s.div), T=damp(s.T),
-                         lnps=s.lnps, q=damp(s.q), ql=damp(s.ql),
+                         lnps=damp(s.lnps) if damp_lnps else s.lnps,
+                         q=damp(s.q), ql=damp(s.ql),
                          qi=damp(s.qi), a=damp(s.a))
 
 

@@ -61,6 +61,8 @@ class GCMConfig:
                                  # semi-Lagrangian, semilag.py — the
                                  # OpenIFS-lineage large-timestep scheme
                                  # required at high truncation)
+    sl_decenter: float = 0.1     # SL-SI off-centering epsilon (damps the
+                                 # spurious 3TL resonance; semilag.sl_step)
     phys: physics.PhysicsParams = physics.PhysicsParams()
 
 
@@ -88,6 +90,11 @@ class GCMCore:
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
         self.vc.implicit_inverse(cfg.dt / 4.0, cfg.trunc)
         self.vc.implicit_inverse(cfg.dt, cfg.trunc)
+        if cfg.advection == "sl":
+            # SL-SI off-centered arrival weights (semilag.sl_step)
+            eps = cfg.sl_decenter
+            self.vc.implicit_inverse((1.0 + eps) * cfg.dt / 2.0, cfg.trunc)
+            self.vc.implicit_inverse((1.0 + eps) * cfg.dt, cfg.trunc)
         mu = np.asarray(self.sht.mu)
         self.lat_rad = jnp.asarray(np.arcsin(mu), jnp.float32)[:, None]
         self.fcor = jnp.asarray(2 * c.omega * mu, jnp.float32)[:, None]
@@ -214,12 +221,14 @@ class GCMCore:
         if self.slg is not None:
             from . import semilag
             new = semilag.sl_step(sht, vc, self.slg, state.now,
-                                  state.prev, dt2)
+                                  state.prev, dt2,
+                                  decenter=cfg.sl_decenter)
         else:
             N, _ = dycore.tendencies(sht, vc, state.now, self.fcor)
             new = dycore.semi_implicit_step(sht, vc, state.now, state.prev,
                                             N, dt2)
-        new = dycore.hyperdiffuse(sht, new, cfg.dt, cfg.diffusion_tau)
+        new = dycore.hyperdiffuse(sht, new, cfg.dt, cfg.diffusion_tau,
+                                  damp_lnps=self.slg is not None)
         grid = dycore.to_grid(sht, vc, new)
         sfc = self._surface(grid)
         # physics adjustments on the provisional state

@@ -260,15 +260,27 @@ def _coriolis_inverse(W, r3, a):
     return (W - a * rxW) / (1.0 + a * a)
 
 
-def sl_step(sht, vc, slg: SLGrid, now, prev, tau):
+def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     """One 3TL semi-Lagrangian semi-implicit step: prev -> new over tau.
 
     Replaces dycore.tendencies + semi_implicit_step when
     GCMConfig.advection == "sl". Same prognostics, same SI matrices
     (vertical.py), same downstream hyperdiffusion/Robert filter.
+
+    ``decenter``: first-order off-centering of the semi-implicit
+    trapezoid — the implicit (arrival) half-weight is (1+eps) h, the
+    explicit (departure) half-weight (1-eps) h. A CENTERED 3TL SL-SI
+    scheme supports a slowly-amplifying spurious gravity-wave resonance;
+    in the HS94 T42/L19 climatology it grows from the model top at the
+    poles until NaN near day 47 REGARDLESS of vertical coordinate or
+    lnps diffusion (round-4 bisection: sigma and hybrid blow up
+    identically, Eulerian is stable). Off-centering is the standard
+    IFS-lineage remedy and damps exactly this mode.
     """
     L = vc.nlev
     h = tau / 2.0
+    ha = (1.0 + decenter) * h          # implicit / arrival half
+    hd = (1.0 - decenter) * h          # explicit / departure half
     a = sht.radius
     _P = jax.lax.Precision.HIGHEST
 
@@ -329,10 +341,10 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau):
     fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
     V3_p = gp.u[None] * e3 + gp.v[None] * n3             # [3, L, ...]
     grad_gamma_p3 = dgx_p[None] * e3 + dgy_p[None] * n3
-    V3_comb = (V3_p - h * fcor[None] * jnp.cross(r3, V3_p, axis=0)
-               - h * grad_gamma_p3)                      # + h (L+Cor) X-
-    T_comb = gp.T + h * WD_p
-    pi_comb = gp.lnps[None] - h * bD_p[None]             # [1, nlat, nlon]
+    V3_comb = (V3_p - hd * fcor[None] * jnp.cross(r3, V3_p, axis=0)
+               - hd * grad_gamma_p3)                     # + hd (L+Cor) X-
+    T_comb = gp.T + hd * WD_p
+    pi_comb = gp.lnps[None] - hd * bD_p[None]            # [1, nlat, nlon]
 
     # ---- midpoint nonlinear terms N(t) -----------------------------------
     # momentum: N_V = -vertadv(V) - Rd T wp grad(pi) - grad(Phi)
@@ -399,7 +411,7 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau):
     # tangent projection at the arrival point (removes the constraint
     # component), then the implicit arrival half of the Coriolis trapezoid
     W3 = W3 - jnp.sum(W3 * r3, axis=0, keepdims=True) * r3
-    V3_t = _coriolis_inverse(W3, r3, h * fcor[None])
+    V3_t = _coriolis_inverse(W3, r3, ha * fcor[None])
     u_t = jnp.sum(V3_t * e3, axis=0)
     v_t = jnp.sum(V3_t * n3, axis=0)
 
@@ -416,20 +428,20 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau):
     T_tilde = sht.analyze(T_t).astype(now.T.dtype)
     pi_tilde = sht.analyze(pi_t).astype(now.lnps.dtype)
 
-    Minv = vc.implicit_inverse(h, sht.trunc)
+    Minv = vc.implicit_inverse(ha, sht.trunc)
     lam_op = (-sht.laplacian)[..., None]                 # +n(n+1)/a^2
-    rhs = D_tilde + h * lam_op[None] * (
+    rhs = D_tilde + ha * lam_op[None] * (
         jnp.einsum("kj,j...->k...", vc.G.astype(T_tilde.dtype), T_tilde,
                    precision=_P)
         + c.rd * vc.tref * pi_tilde[None])
     div_new = jnp.einsum("nlj,jmnc->lmnc", Minv.astype(rhs.dtype), rhs,
                          precision=_P)
-    T_new = T_tilde + h * jnp.einsum("kj,j...->k...",
-                                     vc.W.astype(div_new.dtype), div_new,
-                                     precision=_P)
-    pi_new = pi_tilde - h * jnp.einsum("j,j...->...",
-                                       vc.b.astype(div_new.dtype), div_new,
-                                       precision=_P)
+    T_new = T_tilde + ha * jnp.einsum("kj,j...->k...",
+                                      vc.W.astype(div_new.dtype), div_new,
+                                      precision=_P)
+    pi_new = pi_tilde - ha * jnp.einsum("j,j...->...",
+                                        vc.b.astype(div_new.dtype), div_new,
+                                        precision=_P)
 
     mask = sht.mask[..., None]
     return dycore.SpectralState(
