@@ -55,7 +55,8 @@ def main():
     from sp_coupler_tpu.models.gcm import model as gm
 
     cfg = gm.GCMConfig(trunc=args.trunc, nlev=args.nlev, dt=args.dt,
-                       hybrid=True, advection="sl")
+                       hybrid=True, advection="sl",
+                       split_phases=args.trunc >= 400)
     core = gm.GCMCore(cfg)
     print("backend:", jax.default_backend(), " grid:", core.nlat, "x",
           core.nlon, " L", args.nlev, " dt", args.dt, flush=True)

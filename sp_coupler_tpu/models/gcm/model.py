@@ -63,6 +63,9 @@ class GCMConfig:
                                  # required at high truncation)
     sl_decenter: float = 0.1     # SL-SI off-centering epsilon (damps the
                                  # spurious 3TL resonance; semilag.sl_step)
+    split_phases: bool = False   # run phase A's dynamics and physics as
+                                 # separate device programs (low-memory
+                                 # mode for TL639-class truncations)
     phys: physics.PhysicsParams = physics.PhysicsParams()
 
 
@@ -202,6 +205,13 @@ class GCMCore:
     # ---- phases ------------------------------------------------------------
 
     def phase_a(self, state: GCMState, first: bool = False) -> GCMState:
+        if self.cfg.split_phases:
+            # low-memory mode for very high truncation (TL639 on a 16 GB
+            # chip): the dynamics and physics halves run as SEPARATE
+            # device programs so their temporaries are not co-resident —
+            # the SL interpolation temps alone approach the HBM capacity
+            new = self._phase_a_dyn_jit(self.consts(), state, first)
+            return self._phase_a_phys_jit(self.consts(), state, new)
         return self._phase_a_jit(self.consts(), state, first)
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -209,13 +219,19 @@ class GCMCore:
         with self.bound(cst):
             return self._phase_a_body(state, first)
 
-    def _phase_a_body(self, state: GCMState, first: bool = False) -> GCMState:
-        """Dynamics step + pre-cloud physics (radiation, vdiff).
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _phase_a_dyn_jit(self, cst, state, first):
+        with self.bound(cst):
+            return self._phase_a_dyn(state, first)
 
-        evolve_model_until_cloud_scheme equivalent; model time unchanged.
-        ``first`` (static) selects the Euler start (dt window) over the
-        regular leapfrog window (2 dt).
-        """
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _phase_a_phys_jit(self, cst, state, new):
+        with self.bound(cst):
+            return self._phase_a_phys(state, new)
+
+    def _phase_a_dyn(self, state: GCMState, first: bool):
+        """Dynamics half of phase A: advance the spectral state over the
+        leapfrog window + hyperdiffusion. Returns the provisional `new`."""
         cfg, sht, vc = self.cfg, self.sht, self.vc
         dt2 = cfg.dt if first else 2.0 * cfg.dt
         if self.slg is not None:
@@ -227,8 +243,21 @@ class GCMCore:
             N, _ = dycore.tendencies(sht, vc, state.now, self.fcor)
             new = dycore.semi_implicit_step(sht, vc, state.now, state.prev,
                                             N, dt2)
-        new = dycore.hyperdiffuse(sht, new, cfg.dt, cfg.diffusion_tau,
-                                  damp_lnps=self.slg is not None)
+        return dycore.hyperdiffuse(sht, new, cfg.dt, cfg.diffusion_tau,
+                                   damp_lnps=self.slg is not None)
+
+    def _phase_a_body(self, state: GCMState, first: bool = False) -> GCMState:
+        """Dynamics step + pre-cloud physics (radiation, vdiff).
+
+        evolve_model_until_cloud_scheme equivalent; model time unchanged.
+        ``first`` (static) selects the Euler start (dt window) over the
+        regular leapfrog window (2 dt).
+        """
+        return self._phase_a_phys(state, self._phase_a_dyn(state, first))
+
+    def _phase_a_phys(self, state: GCMState, new) -> GCMState:
+        """Physics half of phase A on the provisional spectral state."""
+        cfg, sht, vc = self.cfg, self.sht, self.vc
         grid = dycore.to_grid(sht, vc, new)
         sfc = self._surface(grid)
         # physics adjustments on the provisional state

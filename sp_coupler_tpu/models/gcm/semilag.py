@@ -267,15 +267,17 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     GCMConfig.advection == "sl". Same prognostics, same SI matrices
     (vertical.py), same downstream hyperdiffusion/Robert filter.
 
-    ``decenter``: first-order off-centering of the semi-implicit
-    trapezoid — the implicit (arrival) half-weight is (1+eps) h, the
+    ``decenter``: first-order off-centering of the semi-implicit GRAVITY
+    terms — the implicit (arrival) half-weight is (1+eps) h, the
     explicit (departure) half-weight (1-eps) h. A CENTERED 3TL SL-SI
     scheme supports a slowly-amplifying spurious gravity-wave resonance;
     in the HS94 T42/L19 climatology it grows from the model top at the
     poles until NaN near day 47 REGARDLESS of vertical coordinate or
     lnps diffusion (round-4 bisection: sigma and hybrid blow up
     identically, Eulerian is stable). Off-centering is the standard
-    IFS-lineage remedy and damps exactly this mode.
+    IFS-lineage remedy and damps exactly this mode. The Coriolis
+    trapezoid stays centered (see the note at V3_comb: off-centering a
+    rotation damps the jets themselves).
     """
     L = vc.nlev
     h = tau / 2.0
@@ -341,8 +343,14 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
     V3_p = gp.u[None] * e3 + gp.v[None] * n3             # [3, L, ...]
     grad_gamma_p3 = dgx_p[None] * e3 + dgy_p[None] * n3
-    V3_comb = (V3_p - hd * fcor[None] * jnp.cross(r3, V3_p, axis=0)
-               - hd * grad_gamma_p3)                     # + hd (L+Cor) X-
+    # Coriolis stays CENTERED (h both halves): the explicit+implicit
+    # rotation pair is norm-neutral only at equal weights — off-centering
+    # it damps rotational flow at ~eps (f h)^2 per step, which at the
+    # poles e-folds the jets in ~2 days (observed: decentered run's umax
+    # decaying 19 -> 11 m/s over 100 days). Only the gravity terms
+    # (gamma/W/b) carry the ha/hd off-centering.
+    V3_comb = (V3_p - h * fcor[None] * jnp.cross(r3, V3_p, axis=0)
+               - hd * grad_gamma_p3)                     # + h Cor + hd L
     T_comb = gp.T + hd * WD_p
     pi_comb = gp.lnps[None] - hd * bD_p[None]            # [1, nlat, nlon]
 
@@ -411,7 +419,7 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     # tangent projection at the arrival point (removes the constraint
     # component), then the implicit arrival half of the Coriolis trapezoid
     W3 = W3 - jnp.sum(W3 * r3, axis=0, keepdims=True) * r3
-    V3_t = _coriolis_inverse(W3, r3, ha * fcor[None])
+    V3_t = _coriolis_inverse(W3, r3, h * fcor[None])
     u_t = jnp.sum(V3_t * e3, axis=0)
     v_t = jnp.sum(V3_t * n3, axis=0)
 
