@@ -23,7 +23,10 @@ atmosphere?" gate (VERDICT round 1, item 6).
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
-        advection="sl", chunk=None):
+        advection="sl", chunk=None, decenter=0.1):
     # CANONICAL HS94 configuration: dtheta_z=10, ka=1/40 d, ks=1/4 d,
     # boundary-layer Rayleigh friction kf=1/d below sigma 0.7, and the
     # moist/bulk-surface physics DISABLED (vdiff_mask=0). The production
@@ -48,7 +51,8 @@ def run(trunc=42, nlev=19, dt=1800.0, days=100, spinup_days=20, seed=3,
                                  tau_rad_sfc=4.0 * 86400.0,
                                  rayleigh_tau=86400.0)
     cfg = gm.GCMConfig(trunc=trunc, nlev=nlev, dt=dt, hybrid=True,
-                       advection=advection, phys=phys)
+                       advection=advection, phys=phys,
+                       sl_decenter=decenter)
     core = gm.GCMCore(cfg)
     state = core.initial_state(seed=seed)
     state = state._replace(vdiff_mask=jnp.zeros_like(state.vdiff_mask))
@@ -218,12 +222,16 @@ def main():
     ap.add_argument("--advection", default="sl")
     ap.add_argument("--chunk", type=int, default=0,
                     help="scan chunk length (steps); 0 = one model day")
+    ap.add_argument("--decenter", type=float, default=0.1,
+                    help="SL-SI off-centering epsilon")
+    ap.add_argument("--dt", type=float, default=1800.0)
     ap.add_argument("--out", default=os.path.join(
         REPO, "sp_coupler_tpu", "verify", "HELD_SUAREZ.md"))
     args = ap.parse_args()
     r = run(trunc=args.trunc, days=args.days,
-            spinup_days=args.spinup_days,
-            advection=args.advection, chunk=args.chunk or None)
+            spinup_days=args.spinup_days, dt=args.dt,
+            advection=args.advection, chunk=args.chunk or None,
+            decenter=args.decenter)
     stats = analyze(r)
     ok = check(stats)
     lines = [

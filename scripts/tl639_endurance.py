@@ -69,7 +69,19 @@ def main():
     # core.apply / the internally-jitted phases thread the ~0.5 GB TL639
     # spectral tables as jit ARGUMENTS — an outer jax.jit here would
     # capture them as module constants and break the remote compile
-    state = core.apply(_inject, state, jnp.asarray(args.jet, jnp.float32))
+    state = core.apply(_inject, state, jnp.asarray(args.jet, jnp.float32),
+                       donate_first=True)
+
+    def strip(s):
+        # Drop the previous step's grid view + surface fields before the
+        # dynamics program launches: phase A's physics half rebuilds
+        # both, and the dead buffers are ~1.5 GB of the 16 GB HBM at
+        # TL639/L60. Must REBIND the loop variable before calling step —
+        # `step(strip(state))` would keep the old pytree (and its grid)
+        # alive through the outer binding for the whole call.
+        return s._replace(grid=None, sfc=None)
+
+    state = strip(state)
     state = core.step(state, first=True)
     stepn = core.step
 
@@ -77,6 +89,7 @@ def main():
     t0 = time.time()
     bad_at = None
     for i in range(args.steps):
+        state = strip(state)
         state = stepn(state)
         if (i + 1) % 8 == 0:
             # tiny fetch: bounds the async dispatch queue (the tunneled

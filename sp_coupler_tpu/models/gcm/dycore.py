@@ -79,7 +79,11 @@ def _hybrid_coeffs_grid(vc, lnps):
     return dict(dpt=hc["dpt"], lnr=hc["lnr"], alpha=hc["alpha"], wp=wp)
 
 
-def to_grid(sht, vc, s: SpectralState) -> GridFields:
+def to_grid(sht, vc, s: SpectralState, diag=True) -> GridFields:
+    """Grid view of a spectral state. diag=False skips the diagnostic
+    fields (omega_p, grid vort/div) — used for the SL departure-time
+    state, where only the prognostic fields are interpolated; the skip
+    saves ~1 GB of synthesis temporaries at TL639/L60."""
     u, v = sht.uv_from_vort_div(s.vort, s.div)
     T = sht.synthesize(s.T)
     q = sht.synthesize(s.q)
@@ -87,6 +91,9 @@ def to_grid(sht, vc, s: SpectralState) -> GridFields:
     qi = sht.synthesize(s.qi)
     a = sht.synthesize(s.a)
     lnps = sht.synthesize(s.lnps)
+    if not diag:
+        return GridFields(u=u, v=v, T=T, q=q, ql=ql, qi=qi, a=a,
+                          lnps=lnps, omega_p=None, vort=None, div=None)
     vort = sht.synthesize(s.vort)
     div = sht.synthesize(s.div)
     dpx, dpy = sht.grad(s.lnps)

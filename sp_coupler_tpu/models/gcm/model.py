@@ -40,8 +40,15 @@ class GCMState(NamedTuple):
     time: jnp.ndarray               # model time (s)
 
 
-def _zero_sp_tend(nlev, nlat, nlon, dtype=jnp.float32):
-    z = jnp.zeros((nlev, nlat, nlon), dtype)
+def _zero_sp_tend(dtype=jnp.float32):
+    """Cleared SP tendencies as SCALAR zeros.
+
+    Broadcasting makes a scalar 0 equivalent to a dense zero map in
+    phase B; storing scalars keeps the idle buffers off HBM (7 dense
+    [L, nlat, nlon] maps are ~1.4 GB at TL639/L60). with_sp_tendencies
+    densifies on first scatter.
+    """
+    z = jnp.zeros((), dtype)
     return {k: z for k in ("U", "V", "T", "SH", "QL", "QI", "A")}
 
 
@@ -63,6 +70,14 @@ class GCMConfig:
                                  # required at high truncation)
     sl_decenter: float = 0.1     # SL-SI off-centering epsilon (damps the
                                  # spurious 3TL resonance; semilag.sl_step)
+    sl_coriolis: str = "auto"    # "midpoint" (centered explicit, the
+                                 # IFS-lineage default; stable for
+                                 # f tau < 2) | "trapezoid" (departure/
+                                 # arrival split; stable for any f dt
+                                 # but damps synoptic eddies — see
+                                 # semilag.sl_step) | "auto" (midpoint
+                                 # unless the polar f tau approaches
+                                 # the midpoint bound)
     split_phases: bool = False   # run phase A's dynamics and physics as
                                  # separate device programs (low-memory
                                  # mode for TL639-class truncations)
@@ -86,6 +101,14 @@ class GCMCore:
         self.vc = vertical.VerticalCoords(cfg.nlev, tref=cfg.tref,
                                           hybrid=cfg.hybrid)
         self.slg = None
+        self.sl_cor = cfg.sl_coriolis
+        if self.sl_cor == "auto":
+            # polar f tau = 2 Omega * 2 dt; the centered-midpoint form is
+            # stable below 2 — switch to the unconditionally-stable (but
+            # eddy-damping) trapezoid with a stability margin
+            self.sl_cor = ("trapezoid"
+                           if 2.0 * c.omega * 2.0 * cfg.dt > 1.5
+                           else "midpoint")
         if cfg.advection == "sl":
             from . import semilag
             self.slg = semilag.SLGrid(self.sht)
@@ -103,6 +126,35 @@ class GCMCore:
         self.fcor = jnp.asarray(2 * c.omega * mu, jnp.float32)[:, None]
         self.nlat, self.nlon = self.sht.nlat, self.sht.nlon
         self.ncols = self.nlat * self.nlon
+        # In split-phase (low-memory) mode the host-stepping jits DONATE
+        # the incoming state so XLA reuses its buffers for the outputs —
+        # without donation the old and new 4-7 GB states are co-resident
+        # at TL639 and the 16 GB chip OOMs. Contract: in split mode the
+        # caller must not touch a state after passing it to a phase.
+        don = cfg.split_phases
+        self._phase_a_phys_jit = jax.jit(
+            self._phase_a_phys_cst, donate_argnums=(1, 2) if don else ())
+        self._phase_cloud_jit = jax.jit(
+            self._phase_cloud_cst, donate_argnums=(0,) if don else ())
+        self._phase_b_jit = jax.jit(
+            self._phase_b_cst, static_argnums=(2,),
+            donate_argnums=(1,) if don else ())
+        self._apply_don_jit = jax.jit(
+            self._apply_cst, static_argnums=(1,), donate_argnums=(2,))
+        if don and cfg.advection == "sl":
+            # split the SL dynamics itself into prep-dep -> dep-interp
+            # -> prep-mid -> finish programs: fused, its HLO temporaries
+            # alone exceed the 16 GB chip at TL639/L60 (see
+            # semilag.sl_prep_dep docstring)
+            self._sl_prep_dep_jit = jax.jit(self._sl_prep_dep_cst,
+                                            static_argnums=(3,))
+            self._sl_prep_mid_jit = jax.jit(self._sl_prep_mid_cst,
+                                            static_argnums=(2,))
+            self._sl_dep_jit = jax.jit(self._sl_dep_cst,
+                                       donate_argnums=(1, 2, 3, 4, 5, 6))
+            self._sl_fin_jit = jax.jit(
+                self._sl_fin_cst, static_argnums=(9,),
+                donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 
     # ---- constant threading -------------------------------------------
     # The spectral tables are threaded through every jitted phase as
@@ -130,9 +182,18 @@ class GCMCore:
         with self.bound(cst):
             return fn(self, *args)
 
-    def apply(self, fn, *args):
+    def _apply_cst(self, cst, fn, *args):
+        with self.bound(cst):
+            return fn(self, *args)
+
+    def apply(self, fn, *args, donate_first=False):
         """jit-run fn(core, *args) with the big tables passed as jit
-        arguments (fn must be a module-level, hashable function)."""
+        arguments (fn must be a module-level, hashable function).
+        donate_first=True donates args[0] (a state being functionally
+        replaced) so its buffers are reused — the caller must drop its
+        reference."""
+        if donate_first:
+            return self._apply_don_jit(self.consts(), fn, *args)
         return self._apply_jit(self.consts(), fn, *args)
 
     # ---- initial condition -------------------------------------------------
@@ -178,7 +239,7 @@ class GCMCore:
         sfc = self._surface(grid)
         return GCMState(
             now=spec, prev=spec, new=spec, grid=grid, sfc=sfc,
-            sp_tend=_zero_sp_tend(L, self.nlat, self.nlon),
+            sp_tend=_zero_sp_tend(),
             vdiff_mask=jnp.ones((self.nlat, self.nlon), jnp.float32),
             time=jnp.zeros((), jnp.float32),
         )
@@ -204,15 +265,82 @@ class GCMCore:
 
     # ---- phases ------------------------------------------------------------
 
+    @staticmethod
+    def _tight_sync(x):
+        """Tiny fetch that serializes the async dispatch queue.
+
+        In split mode every enqueued program's arguments AND outputs are
+        resident at once; at TL639 three multi-GB programs in flight
+        exceed HBM and hard-crash the TPU runtime. A scalar fetch after
+        each dispatch bounds residency to one program's working set at
+        ~ms cost (a full block_until_ready costs ~6 s on the tunneled
+        backend)."""
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
     def phase_a(self, state: GCMState, first: bool = False) -> GCMState:
         if self.cfg.split_phases:
             # low-memory mode for very high truncation (TL639 on a 16 GB
             # chip): the dynamics and physics halves run as SEPARATE
             # device programs so their temporaries are not co-resident —
-            # the SL interpolation temps alone approach the HBM capacity
-            new = self._phase_a_dyn_jit(self.consts(), state, first)
+            # and the SL dynamics itself splits again into prep (stack
+            # construction) and solve (interpolation + SI) programs
+            if self.slg is not None:
+                cst = self.consts()
+                prep = self._sl_prep_dep_jit(cst, state.now, state.prev,
+                                             first)
+                self._tight_sync(prep["pi_comb"])
+                angm = prep.pop("angm")
+                dep_vals, pi_dep = self._sl_dep_jit(
+                    cst, prep["dep"], prep["pi_comb"], *prep["angd"])
+                del prep                     # donated to the dep program
+                self._tight_sync(pi_dep)
+                mid = self._sl_prep_mid_jit(cst, state.now, first)
+                self._tight_sync(mid["N_pi"])
+                new = self._sl_fin_jit(cst, mid["mid"], mid["N_pi"],
+                                       *angm, dep_vals, pi_dep, first)
+                del mid, angm, dep_vals, pi_dep
+            else:
+                new = self._phase_a_dyn_jit(self.consts(), state, first)
+            self._tight_sync(new.vort)
             return self._phase_a_phys_jit(self.consts(), state, new)
         return self._phase_a_jit(self.consts(), state, first)
+
+    def _sl_prep_dep_cst(self, cst, now, prev, first):
+        from . import semilag
+        with self.bound(cst):
+            dt2 = self.cfg.dt if first else 2.0 * self.cfg.dt
+            return semilag.sl_prep_dep(self.sht, self.vc, self.slg, now,
+                                       prev, dt2,
+                                       decenter=self.cfg.sl_decenter,
+                                       coriolis=self.sl_cor)
+
+    def _sl_prep_mid_cst(self, cst, now, first):
+        from . import semilag
+        with self.bound(cst):
+            dt2 = self.cfg.dt if first else 2.0 * self.cfg.dt
+            return semilag.sl_prep_mid(self.sht, self.vc, self.slg, now,
+                                       dt2, coriolis=self.sl_cor)
+
+    def _sl_dep_cst(self, cst, dep, pi_comb, lam_d, phi_d, lam_d2, phi_d2):
+        from . import semilag
+        with self.bound(cst):
+            return semilag.sl_interp_dep(self.slg, dep, pi_comb,
+                                         lam_d, phi_d, lam_d2, phi_d2)
+
+    def _sl_fin_cst(self, cst, mid, N_pi, lam_m, phi_m, lam_m2, phi_m2,
+                    dep_vals, pi_dep, first):
+        from . import semilag
+        with self.bound(cst):
+            cfg = self.cfg
+            dt2 = cfg.dt if first else 2.0 * cfg.dt
+            new = semilag.sl_finish(self.sht, self.vc, self.slg, mid, N_pi,
+                                    lam_m, phi_m, lam_m2, phi_m2,
+                                    dep_vals, pi_dep, dt2,
+                                    decenter=cfg.sl_decenter,
+                                    coriolis=self.sl_cor)
+            return dycore.hyperdiffuse(self.sht, new, cfg.dt,
+                                       cfg.diffusion_tau, damp_lnps=True)
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _phase_a_jit(self, cst, state, first):
@@ -224,8 +352,7 @@ class GCMCore:
         with self.bound(cst):
             return self._phase_a_dyn(state, first)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _phase_a_phys_jit(self, cst, state, new):
+    def _phase_a_phys_cst(self, cst, state, new):
         with self.bound(cst):
             return self._phase_a_phys(state, new)
 
@@ -238,7 +365,8 @@ class GCMCore:
             from . import semilag
             new = semilag.sl_step(sht, vc, self.slg, state.now,
                                   state.prev, dt2,
-                                  decenter=cfg.sl_decenter)
+                                  decenter=cfg.sl_decenter,
+                                  coriolis=self.sl_cor)
         else:
             N, _ = dycore.tendencies(sht, vc, state.now, self.fcor)
             new = dycore.semi_implicit_step(sht, vc, state.now, state.prev,
@@ -282,8 +410,10 @@ class GCMCore:
         )
         return state._replace(new=new, grid=grid, sfc=sfc)
 
-    @functools.partial(jax.jit, static_argnums=0)
     def phase_cloud(self, state: GCMState) -> GCMState:
+        return self._phase_cloud_jit(state)
+
+    def _phase_cloud_cst(self, state: GCMState) -> GCMState:
         """Cloud scheme (large-scale condensation + cloud fraction).
 
         evolve_model_cloud_scheme equivalent; also clears the SP tendency
@@ -297,15 +427,12 @@ class GCMCore:
             jnp.maximum(g.qi, 0.0), jnp.clip(g.a, 0.0, 1.0),
             p_full, cfg.dt, cfg.phys)
         grid = g._replace(T=T, q=q, ql=ql, qi=qi, a=a)
-        return state._replace(
-            grid=grid,
-            sp_tend=_zero_sp_tend(cfg.nlev, self.nlat, self.nlon))
+        return state._replace(grid=grid, sp_tend=_zero_sp_tend())
 
     def phase_b(self, state: GCMState, first: bool = False) -> GCMState:
         return self._phase_b_jit(self.consts(), state, first)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _phase_b_jit(self, cst, state, first):
+    def _phase_b_cst(self, cst, state, first):
         with self.bound(cst):
             return self._phase_b_body(state, first)
 
@@ -340,13 +467,24 @@ class GCMCore:
         else:
             prev = dycore.robert_filter(state.now, state.prev, new,
                                         cfg.robert_eps)
+        # `new` is only meaningful mid-phase; aliasing it to `now` here
+        # (same tracer -> same output buffer) drops the stale provisional
+        # state that otherwise rides along between steps (~1.4 GB at
+        # TL639/L60).
         return state._replace(
             prev=prev,
             now=new,
+            new=new,
             time=state.time + dt,
         )
 
     def step(self, state: GCMState, first=False) -> GCMState:
+        if self.cfg.split_phases:
+            state = self.phase_a(state, first)
+            self._tight_sync(state.grid.u)
+            state = self.phase_cloud(state)
+            self._tight_sync(state.grid.T)
+            return self.phase_b(state, first)
         return self.phase_b(self.phase_cloud(self.phase_a(state, first)),
                             first)
 
@@ -399,8 +537,12 @@ class GCMCore:
         j = col_idx // self.nlon
         i = col_idx % self.nlon
         new_t = dict(state.sp_tend)
+        shape = (self.cfg.nlev, self.nlat, self.nlon)
         for k, v in tend.items():
-            new_t[k] = new_t[k].at[:, j, i].set(v.T)
+            base = new_t[k]
+            if getattr(base, "ndim", 3) != 3:   # scalar cleared buffer
+                base = jnp.broadcast_to(base, shape)
+            new_t[k] = base.at[:, j, i].set(v.T)
         return state._replace(sp_tend=new_t)
 
 

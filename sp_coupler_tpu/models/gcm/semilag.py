@@ -41,12 +41,34 @@ from . import dycore
 
 
 class SLGrid:
-    """Precomputed geometry for trajectories + departure interpolation."""
+    """Precomputed geometry for trajectories + departure interpolation.
 
-    def __init__(self, sht, nghost=12):
+    ``method``: "gather" evaluates the k*k interpolation taps with XLA
+    gathers — fast on CPU, pathologically slow on TPU (a general gather
+    runs at ~2e7 elements/s there: 43 s for ONE TL639/L60 field, and
+    multi-minute programs hard-crash the worker). "window" exploits the
+    physical bound on trajectory displacement (a few cells even at
+    super-CFL): the same taps become a data-dependent STENCIL — a sum
+    of statically-shifted field slices weighted by elementwise masks —
+    which runs on the VPU at bandwidth speed. Displacements beyond the
+    window are clamped to its edge (IFS-style trajectory truncation;
+    never active below ~9-cell super-CFL). None = pick by backend.
+    """
+
+    def __init__(self, sht, nghost=12, method=None):
         self.sht = sht
         self.nlat, self.nlon = sht.nlat, sht.nlon
         self.ng = ng = int(min(nghost, self.nlat))
+        if method is None:
+            method = ("window" if jax.default_backend() == "tpu"
+                      else "gather")
+        self.method = method
+        # window half-widths (cells): support up to ~8-cell super-CFL
+        # trajectories (the TL639 endurance case peaks at ~7 under its
+        # 150 m/s gate); lat additionally bounded by the ghost rows
+        # (need ng >= S_lat + k - 1 for the static extended-grid slices)
+        self.S_lat = max(min(ng - 3, 8), 1)
+        self.S_lon = min(10, self.nlon // 2 - 4)
         mu = np.asarray(sht.mu, np.float64)             # north -> south
         phi = np.arcsin(mu)
         lam = 2.0 * np.pi * np.arange(self.nlon) / self.nlon
@@ -136,70 +158,198 @@ class SLGrid:
         """Interpolate a stack of fields at target points.
 
         fields: [F, K, nlat, nlon] (K broadcast dim, e.g. levels; the
-        lat/lon taps and weights are computed once and shared over F).
+        lat/lon taps are computed once and shared over F).
         lam_t, phi_t: [K, nlat, nlon] target angles (lam in [0, 2 pi)).
-        Returns [F, K, nlat, nlon].
+        Returns [F, K, nlat, nlon]. Dispatches on self.method (see the
+        class docstring).
+        """
+        if self.method == "window":
+            return self._interp_window(fields, lam_t, phi_t, cubic)
+        return self._interp_gather(fields, lam_t, phi_t, cubic)
+
+    def _interp_window(self, fields, lam_t, phi_t, cubic=True):
+        """Windowed-stencil evaluation of the same k*k Lagrange taps.
+
+        value(r, c) = sum_dj sum_di wlat_dj wlon_di f[j0+dj, i1+di]
+                    = sum_sj sum_si A_sj(r, c) B_si(r, c) f[r+sj, c+si]
+
+        with A_sj = sum_dj wlat_dj [j0 - j_row + dj = sj] and
+        B_si = sum_di wlon_di [d_lon + di0 + di = si]: because the tap
+        offsets are bounded by the trajectory CFL, the gather becomes a
+        static double loop of shifted slices weighted by elementwise
+        masks — VPU work at bandwidth speed instead of a general TPU
+        gather (~2e7 elements/s, 43 s per TL639/L60 field). Tap weights
+        are identical to the gather path; displacements beyond the
+        window are clamped to its edge (trajectory truncation — never
+        active below ~(S_lat)-cell super-CFL).
+        """
+        k = 4 if cubic else 2
+        F = fields.shape[0]
+        K, nlat, nlon = lam_t.shape
+        ng = self.ng
+        Sj = min(self.S_lat, ng - k + 1)
+        Si = min(self.S_lon, nlon // 2 - k)
+        di0 = -1 if cubic else 0
+
+        xi = lam_t / self.dlon
+        i1 = jnp.floor(xi).astype(jnp.int32)
+        t = xi - i1
+        i_col = jnp.arange(nlon, dtype=jnp.int32)[None, None, :]
+        dlon = i1 - i_col
+        dlon = (dlon + nlon // 2) % nlon - (nlon // 2)  # wrap to signed
+        dlon = jnp.clip(dlon, -Si, Si)
+        phi_ext = self.phi_ext
+        pad = Si + k
+
+        # ---- lat taps WITHOUT searchsorted / table gathers: both lower
+        # to general TPU gathers (~2e7 elements/s — each ~0.3 s at
+        # TL639/L60, and this routine needs dozens). The target row is
+        # within the window of the arrival row, so the bracketing offset
+        # is a count of vectorized compares against statically sliced
+        # node latitudes, and the k node latitudes come from the same
+        # selects.
+        def prow(s, l=0):
+            # phi_ext[ng + r + s + l] as a broadcastable [1, nlat, 1]
+            return phi_ext[ng + s + l: ng + s + l + nlat][None, :, None]
+
+        cnt = jnp.zeros_like(dlon)
+        for s in range(-Sj, Sj + 1):
+            cnt = cnt + (prow(s) >= phi_t).astype(jnp.int32)
+        djn = cnt - (Sj + 1)          # phi_ext[j_row+djn] >= phi > next
+        djb = jnp.clip(djn - (k - 2) // 2, -Sj, Sj)   # topmost lat tap
+        nodes = []
+        for l in range(k):
+            nl = jnp.zeros_like(phi_t)
+            for s in range(-Sj, Sj + 1):
+                nl = nl + jnp.where(djb == s, prow(s, l), 0.0)
+            nodes.append(nl)
+        wlat = self._lagrange(phi_t, nodes)           # k x [K, nlat, nlon]
+        if cubic:
+            wlon = [
+                -t * (t - 1.0) * (t - 2.0) / 6.0,
+                (t * t - 1.0) * (t - 2.0) / 2.0,
+                -t * (t + 1.0) * (t - 2.0) / 2.0,
+                t * (t * t - 1.0) / 6.0]
+        else:
+            wlon = [1.0 - t, t]
+
+        outs = []
+        for fi in range(F):
+            ext = self.extend(fields[fi])             # [K, J_ext, nlon]
+            padded = jnp.concatenate(
+                [ext[..., -pad:], ext, ext[..., :pad]], axis=-1)
+            acc = jnp.zeros((K, nlat, nlon), fields.dtype)
+            for sj in range(-Sj, Sj + k):
+                A = jnp.zeros_like(phi_t)
+                for dj in range(k):
+                    A = A + jnp.where(djb + dj == sj, wlat[dj], 0.0)
+                row = padded[:, ng + sj: ng + sj + nlat, :]
+                P = jnp.zeros((K, nlat, nlon), fields.dtype)
+                for si in range(-Si + di0, Si + di0 + k):
+                    B = jnp.zeros_like(phi_t)
+                    for di in range(k):
+                        B = B + jnp.where(dlon + di0 + di == si,
+                                          wlon[di], 0.0)
+                    P = P + B * row[..., pad + si: pad + si + nlon]
+                acc = acc + A * P
+                # one barrier per lat-shift: the ~24 inner passes fuse
+                # into one VPU kernel; segments run sequentially so the
+                # scheduler holds one segment\'s buffers at a time (an
+                # unconstrained schedule materialized every pass: a
+                # 127 GB HLO-temp plan)
+                (acc, padded) = jax.lax.optimization_barrier(
+                    (acc, padded))
+            outs.append(acc)
+        return jnp.stack(outs)
+
+    def _interp_gather(self, fields, lam_t, phi_t, cubic=True):
+        """Gather-tap evaluation (CPU path).
+
+        Memory layout (TL639 is HBM-bound, not FLOP-bound here): the
+        field axis runs under lax.scan so only ONE field's extended
+        grid, gather index, and tap values are live at a time — an
+        all-fields gather holds several [F, K, nlat, nlon] temporaries
+        (~1.5 GB each at TL639/L60) at once and OOMs the 16 GB chip.
+        Within a field the k*k taps are unrolled with the index computed
+        at the use site, and the per-tap Lagrange weights are
+        recomputed in-body from the scalar offsets (elementwise chains
+        that XLA fuses into the gather epilogue) instead of being kept
+        as [k, K, P] stacks (~1.6 GB live for the cubic pair). Per-tap
+        lists, never a trailing size-k axis: k in {2, 4} minormost gets
+        lane-tiled to 128 on TPU (64x/32x HBM padding). Tap summation
+        order (dj-major) is unchanged -> bitwise-identical results.
+        Indices are in bounds by construction (j0 clipped, col wrapped)
+        -> promise_in_bounds skips the clamp/select of the default mode.
         """
         k = 4 if cubic else 2
         F = fields.shape[0]
         K = lam_t.shape[0]
-        npts = K * self.nlat * self.nlon
         lam_f = lam_t.reshape(K, -1)
         phi_f = phi_t.reshape(K, -1)
 
-        # ---- longitude taps + weights (uniform nodes)
+        # ---- longitude taps (uniform nodes)
         xi = lam_f / self.dlon
         i1 = jnp.floor(xi).astype(jnp.int32)
         t = xi - i1                                       # in [0, 1)
-        # per-tap LISTS of [K, P] arrays (see _lagrange: a trailing
-        # size-k axis would be lane-padded 64x/32x on TPU)
-        if cubic:
-            tt = t
-            wlon = [
-                -tt * (tt - 1.0) * (tt - 2.0) / 6.0,
-                (tt * tt - 1.0) * (tt - 2.0) / 2.0,
-                -tt * (tt + 1.0) * (tt - 2.0) / 2.0,
-                tt * (tt * tt - 1.0) / 6.0]
-            di0 = -1
-        else:
-            wlon = [1.0 - t, t]
-            di0 = 0
+        di0 = -1 if cubic else 0
 
-        # ---- latitude taps + weights (non-uniform Gaussian nodes)
+        # ---- latitude taps (non-uniform Gaussian nodes)
         j0 = self._lat_taps(phi_f, k)                     # [K, P]
-        nodes = [self.phi_ext[j0 + l] for l in range(k)]  # k x [K, P]
-        wlat = self._lagrange(phi_f, nodes)               # k x [K, P]
+        phi_ext = self.phi_ext
+        nlon = self.nlon
 
-        ext = self.extend(fields)                         # [F, K, J_ext, nlon]
-        ext_flat = ext.reshape(F, K, -1)                  # [F, K, J_ext*nlon]
+        def wlon_tap(di, tt):
+            if not cubic:
+                return 1.0 - tt if di == 0 else tt
+            return [
+                lambda: -tt * (tt - 1.0) * (tt - 2.0) / 6.0,
+                lambda: (tt * tt - 1.0) * (tt - 2.0) / 2.0,
+                lambda: -tt * (tt + 1.0) * (tt - 2.0) / 2.0,
+                lambda: tt * (tt * tt - 1.0) / 6.0][di]()
 
-        # taps accumulated under lax.scan with the gather index computed
-        # INSIDE the body: an unrolled k*k loop keeps all 16 index
-        # buffers and gather temporaries live at once, which at TL639
-        # fragmented HBM by ~9.5 GB (67% fragmentation) and OOMed, and
-        # pre-stacked [k2, K, P] index/weight arrays cost 2.4 GB of scan
-        # inputs at that size. Per-tap weights index the small [k, K, P]
-        # leading-axis stacks (layout-safe). Summation order is identical
-        # to the unrolled loop (bitwise-same result). Indices are in
-        # bounds by construction (j0 clipped, col wrapped) ->
-        # promise_in_bounds skips the clamp/select of the default mode.
-        wlat_s = jnp.stack(wlat)                          # [k, K, P]
-        wlon_s = jnp.stack(wlon)                          # [k, K, P]
+        def field_tap_sum(seq, f):
+            bj0, bi1, bt, bphi = seq
+            ext = self.extend(f).reshape(K, -1)           # [K, Jext*nlon]
+            acc = jnp.zeros_like(phi_f, dtype=fields.dtype)
+            for dj in range(k):
+                for di in range(k):
+                    # per-tap Lagrange weight, recomputed in-body from
+                    # the tiny phi_ext table (fuses into the gather
+                    # epilogue; same op order as _lagrange -> bitwise
+                    # identical to a precomputed [k, K, P] weight stack)
+                    nodes = [phi_ext[bj0 + l] for l in range(k)]
+                    num, den = 1.0, 1.0
+                    for m in range(k):
+                        if m == dj:
+                            continue
+                        num = num * (bphi - nodes[m])
+                        den = den * (nodes[dj] - nodes[m])
+                    wl = num / den
+                    row = (bj0 + dj) * nlon               # [K, P]
+                    col = jnp.remainder(bi1 + di0 + di, nlon)
+                    vals = jnp.take_along_axis(
+                        ext, row + col, axis=-1, mode="promise_in_bounds")
+                    acc = acc + vals * (wl * wlon_tap(di, bt))
+                    # chain the taps: without this barrier XLA schedules
+                    # all k*k gathers concurrently (they only meet at
+                    # acc), holding every tap's index/value temporaries
+                    # at once — ~6 GB at TL639/L60. Identity on values.
+                    (acc, ext, bj0, bi1, bt,
+                     bphi) = jax.lax.optimization_barrier(
+                        (acc, ext, bj0, bi1, bt, bphi))
+            return (bj0, bi1, bt, bphi), acc
 
-        def tap(acc, t):
-            dj = t // k
-            di = t % k
-            row = (j0 + dj) * self.nlon                   # [K, P]
-            col = jnp.remainder(i1 + di0 + di, self.nlon)
-            idx = row + col
-            w = wlat_s[dj] * wlon_s[di]
-            vals = jnp.take_along_axis(
-                ext_flat, jnp.broadcast_to(idx[None], (F,) + idx.shape),
-                axis=-1, mode="promise_in_bounds")
-            return acc + vals * w[None], None
-
-        out = jnp.zeros((F, K, lam_f.shape[-1]), fields.dtype)
-        out, _ = jax.lax.scan(tap, out, jnp.arange(k * k))
+        # Unrolled Python loop over fields (NOT lax.scan: scan buffers a
+        # private copy of xs — another ~1.5 GB at TL639/L60); the barrier
+        # chain threads each field's index arrays through the previous
+        # field's accumulator so the per-field working sets run
+        # sequentially, one at a time.
+        seq = (j0, i1, t, phi_f)
+        outs = []
+        for fi in range(F):
+            seq, acc = field_tap_sum(seq, fields[fi])
+            outs.append(acc)
+        out = jnp.stack(outs)
         return out.reshape((F, K, self.nlat, self.nlon))
 
     # ---- trajectories ---------------------------------------------------
@@ -260,66 +410,35 @@ def _coriolis_inverse(W, r3, a):
     return (W - a * rxW) / (1.0 + a * a)
 
 
-def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
-    """One 3TL semi-Lagrangian semi-implicit step: prev -> new over tau.
+def sl_prep_dep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
+                coriolis="midpoint"):
+    """Departure side of the SL step: trajectories + the departure-time
+    combined-field stack (NO interpolation, NO midpoint terms).
 
-    Replaces dycore.tendencies + semi_implicit_step when
-    GCMConfig.advection == "sl". Same prognostics, same SI matrices
-    (vertical.py), same downstream hyperdiffusion/Robert filter.
-
-    ``decenter``: first-order off-centering of the semi-implicit GRAVITY
-    terms — the implicit (arrival) half-weight is (1+eps) h, the
-    explicit (departure) half-weight (1-eps) h. A CENTERED 3TL SL-SI
-    scheme supports a slowly-amplifying spurious gravity-wave resonance;
-    in the HS94 T42/L19 climatology it grows from the model top at the
-    poles until NaN near day 47 REGARDLESS of vertical coordinate or
-    lnps diffusion (round-4 bisection: sigma and hybrid blow up
-    identically, Eulerian is stable). Off-centering is the standard
-    IFS-lineage remedy and damps exactly this mode. The Coriolis
-    trapezoid stays centered (see the note at V3_comb: off-centering a
-    rotation damps the jets themselves).
+    In the low-memory split mode (GCMConfig.split_phases) this runs as
+    its own device program — the full prep's temporaries together with
+    its ~3.7 GB of outputs leave no headroom on a 16 GB chip at
+    TL639/L60, so the departure and midpoint halves are separate
+    programs (sl_prep composes them for the fused path).
     """
     L = vc.nlev
     h = tau / 2.0
-    ha = (1.0 + decenter) * h          # implicit / arrival half
     hd = (1.0 - decenter) * h          # explicit / departure half
     a = sht.radius
     _P = jax.lax.Precision.HIGHEST
 
-    g = dycore.to_grid(sht, vc, now)          # arrival-time fields
-    gp = dycore.to_grid(sht, vc, prev)        # departure-time fields
-    hc = dycore._hybrid_coeffs_grid(vc, g.lnps)
+    # only the winds of the arrival-time state are needed here
+    u, v = sht.uv_from_vort_div(now.vort, now.div)
+    gp = dycore.to_grid(sht, vc, prev, diag=False)   # departure-time fields
 
-    # ---- vertical velocity + hybrid coefficients at time t --------------
-    dpx, dpy = sht.grad(now.lnps)
-    vgrad = g.u * dpx[None] + g.v * dpy[None]
-    if hc is None:
-        ds = vc.ds[:, None, None]
-        Ct = (g.div + vgrad) * ds
-        dpt = None
-        dpt_full = ds
-        Bh = vc.sh
-        wp = 1.0
-        wbar = vc.ds
-    else:
-        dpt = hc["dpt"]
-        dpt_full = dpt
-        Ct = g.div * dpt + vc.dB[:, None, None] * vgrad
-        Bh = vc.B
-        wp = hc["wp"]
-        wbar = vc.dB
-    csum = jnp.cumsum(Ct, axis=0)
-    total = csum[-1:]
-    sdot_int = Bh[1:-1, None, None] * total - csum[:-1]
-    zero = jnp.zeros_like(sdot_int[:1])
-    sdot = jnp.concatenate([zero, sdot_int, zero], axis=0)
+    wbar = vc.dB if vc.hybrid else vc.ds
 
     # ---- trajectories ----------------------------------------------------
-    (lam_d, phi_d), (lam_m, phi_m) = slg.trajectories(g.u, g.v, h, a)
+    (lam_d, phi_d), (lam_m, phi_m) = slg.trajectories(u, v, h, a)
     # 2-D trajectory of the mass-weighted mean wind (continuity equation:
     # d(lnps)/dt following ubar = -sum_k dpt_k D_k in sigma/hybrid form)
-    ubar = jnp.einsum("k,kij->ij", wbar, g.u, precision=_P)[None]
-    vbar = jnp.einsum("k,kij->ij", wbar, g.v, precision=_P)[None]
+    ubar = jnp.einsum("k,kij->ij", wbar, u, precision=_P)[None]
+    vbar = jnp.einsum("k,kij->ij", wbar, v, precision=_P)[None]
     (lam_d2, phi_d2), (lam_m2, phi_m2) = slg.trajectories(ubar, vbar, h, a)
 
     # ---- departure-time combined fields  X- + h (L X)-  ------------------
@@ -337,28 +456,79 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     e3, n3 = slg.e[:, None], slg.n[:, None]
     r3 = slg.r[:, None]
     # Coriolis parameter as a grid field (traditional approximation,
-    # matching the Eulerian path); treated trapezoidally: half at the
-    # departure point (folded into the interpolated field below), half
-    # implicitly at arrival (_coriolis_inverse)
+    # matching the Eulerian path)
     fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
     V3_p = gp.u[None] * e3 + gp.v[None] * n3             # [3, L, ...]
     grad_gamma_p3 = dgx_p[None] * e3 + dgy_p[None] * n3
-    # Coriolis stays CENTERED (h both halves): the explicit+implicit
-    # rotation pair is norm-neutral only at equal weights — off-centering
-    # it damps rotational flow at ~eps (f h)^2 per step, which at the
-    # poles e-folds the jets in ~2 days (observed: decentered run's umax
-    # decaying 19 -> 11 m/s over 100 days). Only the gravity terms
-    # (gamma/W/b) carry the ha/hd off-centering.
-    V3_comb = (V3_p - h * fcor[None] * jnp.cross(r3, V3_p, axis=0)
-               - hd * grad_gamma_p3)                     # + h Cor + hd L
+    if coriolis == "trapezoid":
+        # half the rotation at the departure point (folded into the
+        # interpolated field), half implicitly at arrival
+        # (_coriolis_inverse). Unconditionally stable in f dt, but see
+        # the `coriolis` docstring in sl_step: the splitting against the
+        # semi-implicit gravity terms detunes Rossby-wave balance and
+        # damps synoptic eddies at ~0.5%/step at T42/dt=1800.
+        V3_comb = (V3_p - h * fcor[None] * jnp.cross(r3, V3_p, axis=0)
+                   - hd * grad_gamma_p3)                 # + h Cor + hd L
+    else:
+        # "midpoint": Coriolis joins the explicit nonlinear terms,
+        # centered in time at t (the middle of the 3TL window) and in
+        # space at the trajectory midpoint — the IFS-lineage default.
+        V3_comb = V3_p - hd * grad_gamma_p3
     T_comb = gp.T + hd * WD_p
     pi_comb = gp.lnps[None] - hd * bD_p[None]            # [1, nlat, nlon]
+
+    # ---- departure field stack -------------------------------------------
+    dep_fields = jnp.concatenate([
+        V3_comb,                                  # 3 x [L]
+        _stack(T_comb, gp.q, gp.ql, gp.qi, gp.a).reshape(5, L, slg.nlat,
+                                                         slg.nlon),
+    ], axis=0)                                    # [8, L, nlat, nlon]
+
+    return {"dep": dep_fields, "pi_comb": pi_comb,
+            "angd": (lam_d, phi_d, lam_d2, phi_d2),
+            "angm": (lam_m, phi_m, lam_m2, phi_m2)}
+
+
+def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):
+    """Midpoint side of the SL step: the explicit nonlinear terms N(t)
+    on the grid (NO interpolation). Own device program in split mode."""
+    L = vc.nlev
+    _P = jax.lax.Precision.HIGHEST
+    dtype = now.T.dtype
+    e3, n3 = slg.e[:, None], slg.n[:, None]
+    r3 = slg.r[:, None]
+    fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
+
+    g = dycore.to_grid(sht, vc, now)          # arrival-time fields
+    dpx, dpy = sht.grad(now.lnps)
+
+    # ---- vertical velocity + hybrid coefficients at time t ---------------
+    hc = dycore._hybrid_coeffs_grid(vc, g.lnps)
+    vgrad = g.u * dpx[None] + g.v * dpy[None]
+    if hc is None:
+        ds = vc.ds[:, None, None]
+        Ct = (g.div + vgrad) * ds
+        dpt = None
+        dpt_full = ds
+        Bh = vc.sh
+        wp = 1.0
+    else:
+        dpt = hc["dpt"]
+        dpt_full = dpt
+        Ct = g.div * dpt + vc.dB[:, None, None] * vgrad
+        Bh = vc.B
+        wp = hc["wp"]
+    csum = jnp.cumsum(Ct, axis=0)
+    total = csum[-1:]
+    sdot_int = Bh[1:-1, None, None] * total - csum[:-1]
+    zero = jnp.zeros_like(sdot_int[:1])
+    sdot = jnp.concatenate([zero, sdot_int, zero], axis=0)
 
     # ---- midpoint nonlinear terms N(t) -----------------------------------
     # momentum: N_V = -vertadv(V) - Rd T wp grad(pi) - grad(Phi)
     #                 + grad(gamma)   (Coriolis is in the trapezoid)
     if hc is None:
-        phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(now.T.dtype),
+        phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(dtype),
                               now.T, precision=_P)
     else:
         T_last = jnp.moveaxis(g.T, 0, -1)
@@ -366,9 +536,9 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
             T_last, lnr=jnp.moveaxis(hc["lnr"], 0, -1),
             alpha=jnp.moveaxis(hc["alpha"], 0, -1))
         phi_spec = sht.analyze(jnp.moveaxis(phi_grid, -1, 0)).astype(
-            now.T.dtype)
+            dtype)
     dphx, dphy = sht.grad(phi_spec)
-    gamma_n = (jnp.einsum("kj,j...->k...", vc.G.astype(now.T.dtype), now.T,
+    gamma_n = (jnp.einsum("kj,j...->k...", vc.G.astype(dtype), now.T,
                           precision=_P)
                + c.rd * vc.tref * now.lnps[None])
     dgx_n, dgy_n = sht.grad(gamma_n)
@@ -380,10 +550,21 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     adv_v = dycore._vert_advect(vc, sdot, g.v, dpt)
     N_V3 = (-(adv_u[None] * e3 + adv_v[None] * n3)
             + Fx[None] * e3 + Fy[None] * n3)
+    if coriolis != "trapezoid":
+        # centered-midpoint Coriolis: -f r x V(t), interpolated linearly
+        # at the trajectory midpoint with the rest of N. Stable for
+        # f tau < 2 (dt below ~1.9 h even at the poles) and — unlike the
+        # trapezoid — consistent in time with the midpoint PGF, so a
+        # balanced Rossby wave stays balanced instead of shedding
+        # gravity waves each step (rot-wave test: trapezoid damps an
+        # m=8 wave at 0.5%/step; midpoint at the pure-interpolation
+        # 0.04%/step).
+        V3_n = g.u[None] * e3 + g.v[None] * n3
+        N_V3 = N_V3 - fcor[None] * jnp.cross(r3, V3_n, axis=0)
 
     # T: N_T = kappa T omega/p - vertadv(T) - W D
     WD_n = sht.synthesize(jnp.einsum("kj,j...->k...",
-                                     vc.W.astype(now.div.dtype), now.div,
+                                     vc.W.astype(dtype), now.div,
                                      precision=_P))
     N_T = (c.kappa * g.T * g.omega_p
            - dycore._vert_advect(vc, sdot, g.T, dpt) - WD_n)
@@ -391,7 +572,7 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     # lnps: N_pi = -sum_k dpt_k D_k + b.D  (zero on pure sigma at the
     # reference state; nonzero through the actual hybrid thicknesses)
     bD_n = sht.synthesize(jnp.einsum("j,j...->...",
-                                     vc.b.astype(now.div.dtype), now.div,
+                                     vc.b.astype(dtype), now.div,
                                      precision=_P))
     N_pi = (-jnp.sum(dpt_full * g.div, axis=0) + bD_n)[None]
 
@@ -402,39 +583,80 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     N_qi = -dycore._vert_advect(vc, sdot, g.qi, dpt)
     N_a = -dycore._vert_advect(vc, sdot, g.a, dpt)
 
-    # ---- interpolate: cubic at departure, linear at midpoint -------------
-    dep_fields = jnp.concatenate([
-        V3_comb,                                  # 3 x [L]
-        _stack(T_comb, gp.q, gp.ql, gp.qi, gp.a).reshape(5, L, slg.nlat,
-                                                         slg.nlon),
-    ], axis=0)                                    # [8, L, nlat, nlon]
-    dep_vals = slg.interp(dep_fields, lam_d, phi_d, cubic=True)
+    # ---- midpoint field stack --------------------------------------------
     mid_fields = jnp.concatenate([
         N_V3,
         _stack(N_T, N_q, N_ql, N_qi, N_a).reshape(5, L, slg.nlat, slg.nlon),
     ], axis=0)
+
+    return {"mid": mid_fields, "N_pi": N_pi}
+
+
+def sl_prep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
+            coriolis="midpoint"):
+    """Both prep halves (the fused-path composition)."""
+    prep = sl_prep_dep(sht, vc, slg, now, prev, tau, decenter, coriolis)
+    prep.update(sl_prep_mid(sht, vc, slg, now, tau, coriolis))
+    return prep
+
+
+def sl_interp_dep(slg: SLGrid, dep_fields, pi_comb, lam_d, phi_d,
+                  lam_d2, phi_d2):
+    """Departure-point (cubic) interpolation of the combined fields.
+    Its own device program in split mode: the gather working set and
+    sl_finish's must not be co-resident at TL639/L60."""
+    dep_vals = slg.interp(dep_fields, lam_d, phi_d, cubic=True)
+    # pi is 2-D: fields [F=1, K=1, nlat, nlon], targets [K=1, nlat, nlon]
+    pi_dep = slg.interp(pi_comb[None], lam_d2, phi_d2, cubic=True)
+    return dep_vals, pi_dep
+
+
+def sl_finish(sht, vc, slg: SLGrid, mid_fields, N_pi, lam_m, phi_m,
+              lam_m2, phi_m2, dep_vals, pi_dep, tau, decenter=0.1,
+              coriolis="midpoint"):
+    """Midpoint (linear) interpolation + arrival-point Coriolis inverse,
+    spectral analysis, and the off-centered semi-implicit solve."""
+    h = tau / 2.0
+    ha = (1.0 + decenter) * h          # implicit / arrival half
+    _P = jax.lax.Precision.HIGHEST
+    e3, n3 = slg.e[:, None], slg.n[:, None]
+    r3 = slg.r[:, None]
+    fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
+    dtype = dep_vals.dtype
+
+    # Sequence the midpoint gather working set after the departure one
+    # (meaningful in the fused path; a no-op ordering when sl_interp_dep
+    # ran as its own program). Identity on values.
+    (mid_fields, N_pi, lam_m, phi_m, lam_m2, phi_m2,
+     dep_vals, pi_dep) = jax.lax.optimization_barrier(
+        (mid_fields, N_pi, lam_m, phi_m, lam_m2, phi_m2,
+         dep_vals, pi_dep))
+
+    # ---- midpoint interpolation (linear) ---------------------------------
     mid_vals = slg.interp(mid_fields, lam_m, phi_m, cubic=False)
 
     W3 = dep_vals[:3] + tau * mid_vals[:3]
     # tangent projection at the arrival point (removes the constraint
-    # component), then the implicit arrival half of the Coriolis trapezoid
+    # component); under the trapezoid treatment the implicit arrival
+    # half of the Coriolis rotation follows
     W3 = W3 - jnp.sum(W3 * r3, axis=0, keepdims=True) * r3
-    V3_t = _coriolis_inverse(W3, r3, h * fcor[None])
+    if coriolis == "trapezoid":
+        V3_t = _coriolis_inverse(W3, r3, h * fcor[None])
+    else:
+        V3_t = W3
     u_t = jnp.sum(V3_t * e3, axis=0)
     v_t = jnp.sum(V3_t * n3, axis=0)
 
     arrived = dep_vals[3:] + tau * mid_vals[3:]
     T_t, q_t, ql_t, qi_t, a_t = [arrived[i] for i in range(5)]
 
-    # pi is 2-D: fields [F=1, K=1, nlat, nlon], targets [K=1, nlat, nlon]
-    pi_dep = slg.interp(pi_comb[None], lam_d2, phi_d2, cubic=True)
     pi_mid = slg.interp(N_pi[None], lam_m2, phi_m2, cubic=False)
     pi_t = (pi_dep + tau * pi_mid)[0, 0]
 
     # ---- spectral analysis + semi-implicit solve at arrival ---------------
     vort_new, D_tilde = sht.vort_div_from_uv(u_t, v_t)
-    T_tilde = sht.analyze(T_t).astype(now.T.dtype)
-    pi_tilde = sht.analyze(pi_t).astype(now.lnps.dtype)
+    T_tilde = sht.analyze(T_t).astype(dtype)
+    pi_tilde = sht.analyze(pi_t).astype(dtype)
 
     Minv = vc.implicit_inverse(ha, sht.trunc)
     lam_op = (-sht.laplacian)[..., None]                 # +n(n+1)/a^2
@@ -455,7 +677,45 @@ def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1):
     return dycore.SpectralState(
         vort=vort_new * mask, div=div_new * mask, T=T_new * mask,
         lnps=pi_new * mask,
-        q=sht.analyze(q_t).astype(now.q.dtype),
-        ql=sht.analyze(ql_t).astype(now.ql.dtype),
-        qi=sht.analyze(qi_t).astype(now.qi.dtype),
-        a=sht.analyze(a_t).astype(now.a.dtype))
+        q=sht.analyze(q_t).astype(dtype),
+        ql=sht.analyze(ql_t).astype(dtype),
+        qi=sht.analyze(qi_t).astype(dtype),
+        a=sht.analyze(a_t).astype(dtype))
+
+
+def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
+            coriolis="midpoint"):
+    """One 3TL semi-Lagrangian semi-implicit step: prev -> new over tau.
+
+    Replaces dycore.tendencies + semi_implicit_step when
+    GCMConfig.advection == "sl". Same prognostics, same SI matrices
+    (vertical.py), same downstream hyperdiffusion/Robert filter.
+    Composition of sl_prep -> sl_interp_dep -> sl_finish (three device
+    programs under GCMConfig.split_phases; fused into one otherwise).
+
+    ``decenter``: first-order off-centering of the semi-implicit GRAVITY
+    terms — the implicit (arrival) half-weight is (1+eps) h, the
+    explicit (departure) half-weight (1-eps) h. A CENTERED 3TL SL-SI
+    scheme supports a slowly-amplifying spurious gravity-wave resonance;
+    in the HS94 T42/L19 climatology it grows from the model top at the
+    poles until NaN near day 47 REGARDLESS of vertical coordinate or
+    lnps diffusion (round-4 bisection: sigma and hybrid blow up
+    identically, Eulerian is stable). Off-centering is the standard
+    IFS-lineage remedy and damps exactly this mode.
+
+    ``coriolis``: "midpoint" (default) evaluates -f r x V with the
+    explicit nonlinear terms, centered in time; "trapezoid" splits the
+    rotation into an explicit departure half and an implicit arrival
+    half (unconditionally stable in f dt, but time-split against the
+    semi-implicit gravity terms: a balanced Rossby wave sheds gravity
+    waves each step and synoptic eddies damp at ~0.5%/step at
+    T42/dt=1800 — the round-4 Held-Suarez 10 m/s-jet failure. The
+    midpoint form is stable for f tau < 2, i.e. dt below ~1.9 h even at
+    the poles, which covers every target configuration).
+    """
+    prep = sl_prep(sht, vc, slg, now, prev, tau, decenter, coriolis)
+    dep_vals, pi_dep = sl_interp_dep(slg, prep["dep"], prep["pi_comb"],
+                                     *prep["angd"])
+    return sl_finish(sht, vc, slg, prep["mid"], prep["N_pi"],
+                     *prep["angm"], dep_vals, pi_dep, tau, decenter,
+                     coriolis)
