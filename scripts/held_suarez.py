@@ -187,16 +187,18 @@ def analyze(r):
             "finite": r["finite"], "wall_s": round(r["wall_s"], 1)}
 
 
-# Hard PASS gates. Slightly wider than the nominal HS94 bands printed in
-# the report table (jets 20-40 m/s at 35-55 deg): resolution/level-count
-# sensitivity moves the jet core by a few m/s and degrees, but a healthy
-# HS94 circulation never leaves these gates. The report prints both so a
-# run inside the gate but outside the nominal band is visible.
+# Hard PASS gates = the nominal HS94 climatology bands (jets 20-40 m/s
+# at 35-55 deg,
+# surface O(10) m/s, eq-pole lower-trop dT ~40-60 K with margin) — the
+# checked-in 250-day artifact and two independent reruns all pass these
+# with room (jets 29-34 m/s at 40.5 deg, surface < 10 m/s). The 10-day CI
+# guard (tests/test_gcm.py::test_hs94_10day_T42_finite) keeps its own
+# looser finite-state bounds; these gates are the climatology verdict.
 GATES = {
-    "jet_ms": (18.0, 50.0),
-    "jet_lat_deg": (28.0, 60.0),
-    "u_surface_max_ms": 30.0,
-    "dT_eq_pole_lower_K": (25.0, 80.0),
+    "jet_ms": (20.0, 40.0),
+    "jet_lat_deg": (35.0, 55.0),
+    "u_surface_max_ms": 15.0,
+    "dT_eq_pole_lower_K": (30.0, 70.0),
 }
 
 

@@ -95,6 +95,13 @@ class GCMCore:
     """
 
     def __init__(self, cfg: GCMConfig, mesh=None, shard_axis=None):
+        if cfg.advection not in ("eulerian", "sl"):
+            raise ValueError("GCMConfig.advection must be 'eulerian' or "
+                             "'sl', got %r" % (cfg.advection,))
+        if cfg.sl_coriolis not in ("auto", "midpoint", "trapezoid"):
+            raise ValueError("GCMConfig.sl_coriolis must be 'auto', "
+                             "'midpoint' or 'trapezoid', got %r"
+                             % (cfg.sl_coriolis,))
         self.cfg = cfg
         self.sht = spharm.SpectralTransform(cfg.trunc, mesh=mesh,
                                             axis=shard_axis)
@@ -111,7 +118,9 @@ class GCMCore:
                            else "midpoint")
         if cfg.advection == "sl":
             from . import semilag
-            self.slg = semilag.SLGrid(self.sht)
+            # dt sizes the latitude-banded interpolation windows for the
+            # 150 m/s design wind at every latitude (semilag.SLGrid)
+            self.slg = semilag.SLGrid(self.sht, dt=cfg.dt)
         # warm the implicit-inverse caches (host-side numpy inversions)
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
         self.vc.implicit_inverse(cfg.dt / 4.0, cfg.trunc)

@@ -55,20 +55,78 @@ class SLGrid:
     never active below ~9-cell super-CFL). None = pick by backend.
     """
 
-    def __init__(self, sht, nghost=12, method=None):
+    def __init__(self, sht, nghost=12, method=None, dt=None, wind_max=150.0):
         self.sht = sht
         self.nlat, self.nlon = sht.nlat, sht.nlon
-        self.ng = ng = int(min(nghost, self.nlat))
         if method is None:
             method = ("window" if jax.default_backend() == "tpu"
                       else "gather")
+        if method not in ("window", "gather"):
+            raise ValueError("SLGrid method must be 'window' or 'gather', "
+                             "got %r" % (method,))
         self.method = method
-        # window half-widths (cells): support up to ~8-cell super-CFL
-        # trajectories (the TL639 endurance case peaks at ~7 under its
-        # 150 m/s gate); lat additionally bounded by the ghost rows
-        # (need ng >= S_lat + k - 1 for the static extended-grid slices)
-        self.S_lat = max(min(ng - 3, 8), 1)
-        self.S_lon = min(10, self.nlon // 2 - 4)
+        # ---- window half-widths (cells) ----------------------------------
+        # The lon-index displacement of a trajectory scales as 1/cos(lat):
+        # a fixed index window that fits a wind_max jet at the equator is
+        # silently exceeded poleward. With ``dt`` given, the windows are
+        # sized from the physical design displacement wind_max * 2 dt:
+        # latitude rows are grouped into <= 3 bands with a doubling ladder
+        # of widths Si_b >= ceil(cells / cos(lat)) + margin, so the full
+        # window covers wind_max everywhere equatorward of ~80 deg (the
+        # residual polar rows keep the top width; there the *physical*
+        # truncation error of an edge clamp is < (cells_exceeded) * dx_eq
+        # * cos(lat) — below the resolvable scale for realistic polar
+        # flow). Without ``dt`` (legacy): one band of width min(10,
+        # nlon/2-4), the round-3 behavior. clamp_stats() reports how often
+        # either window actually truncates.
+        mu_np = np.asarray(sht.mu, np.float64)
+        cosphi = np.cos(np.arcsin(mu_np))                # north -> south
+        dx_eq = 2.0 * np.pi * float(sht.radius) / self.nlon
+        cap = max(self.nlon // 2 - 4, 2)
+        if dt is not None:
+            cells = wind_max * 2.0 * float(dt) / dx_eq   # equator cells
+            # lat rows are uniformly ~pi a / nlat apart; same margin
+            cells_lat = wind_max * 2.0 * float(dt) / (
+                np.pi * float(sht.radius) / self.nlat)
+            lat_req = int(np.ceil(cells_lat)) + 1
+        else:
+            cells = None
+            lat_req = 8
+        self.ng = ng = int(min(max(nghost, lat_req + 4), self.nlat))
+        self.S_lat = max(min(ng - 3, lat_req), 1)
+        self.S_lon = min(10, cap)
+        if cells is None:
+            self.lon_bands = [([(0, self.nlat)], self.S_lon)]
+        else:
+            S0 = int(min(max(int(np.ceil(cells)) + 2, 3), cap))
+            ladder = [S0]
+            while ladder[-1] < cap and len(ladder) < 3:
+                ladder.append(min(2 * ladder[-1], cap))
+            req = np.ceil(cells / np.maximum(cosphi, 1e-9)) + 2
+            # smallest ladder level covering each row (top level if none)
+            lev = np.full(self.nlat, len(ladder) - 1, np.int64)
+            for li in range(len(ladder) - 2, -1, -1):
+                lev[req <= ladder[li]] = np.minimum(lev[req <= ladder[li]],
+                                                    li)
+            # cos is symmetric and monotone: levels form a central band
+            # per level flanked by mirrored polar segments — group the
+            # contiguous runs, merging the north/south pair of each level
+            bands = []
+            for li in range(len(ladder)):
+                rows = np.flatnonzero(lev == li)
+                if rows.size == 0:
+                    continue
+                segs = []
+                r0 = rows[0]
+                prev = rows[0]
+                for r in rows[1:]:
+                    if r != prev + 1:
+                        segs.append((int(r0), int(prev) + 1))
+                        r0 = r
+                    prev = r
+                segs.append((int(r0), int(prev) + 1))
+                bands.append((segs, int(ladder[li])))
+            self.lon_bands = bands
         mu = np.asarray(sht.mu, np.float64)             # north -> south
         phi = np.arcsin(mu)
         lam = 2.0 * np.pi * np.arange(self.nlon) / self.nlon
@@ -188,8 +246,10 @@ class SLGrid:
         K, nlat, nlon = lam_t.shape
         ng = self.ng
         Sj = min(self.S_lat, ng - k + 1)
-        Si = min(self.S_lon, nlon // 2 - k)
         di0 = -1 if cubic else 0
+        bands = [(segs, min(Si, nlon // 2 - k))
+                 for segs, Si in self.lon_bands]
+        pad = max(Si for _, Si in bands) + k
 
         xi = lam_t / self.dlon
         i1 = jnp.floor(xi).astype(jnp.int32)
@@ -197,9 +257,7 @@ class SLGrid:
         i_col = jnp.arange(nlon, dtype=jnp.int32)[None, None, :]
         dlon = i1 - i_col
         dlon = (dlon + nlon // 2) % nlon - (nlon // 2)  # wrap to signed
-        dlon = jnp.clip(dlon, -Si, Si)
         phi_ext = self.phi_ext
-        pad = Si + k
 
         # ---- lat taps WITHOUT searchsorted / table gathers: both lower
         # to general TPU gathers (~2e7 elements/s — each ~0.3 s at
@@ -223,7 +281,12 @@ class SLGrid:
             for s in range(-Sj, Sj + 1):
                 nl = nl + jnp.where(djb == s, prow(s, l), 0.0)
             nodes.append(nl)
-        wlat = self._lagrange(phi_t, nodes)           # k x [K, nlat, nlon]
+        # Weight evaluation point clamped to the stencil span (nodes are
+        # descending; a no-op whenever the bracket did not saturate): a
+        # super-window lat displacement degrades to edge-value truncation
+        # instead of cubic EXTRApolation with polynomially growing weights.
+        phi_w = jnp.clip(phi_t, nodes[-1], nodes[0])
+        wlat = self._lagrange(phi_w, nodes)           # k x [K, nlat, nlon]
         if cubic:
             wlon = [
                 -t * (t - 1.0) * (t - 2.0) / 6.0,
@@ -233,34 +296,97 @@ class SLGrid:
         else:
             wlon = [1.0 - t, t]
 
+        def seg_cat(x, segs):
+            """Concatenate a band's latitude segments ([K, ., nlon])."""
+            if len(segs) == 1:
+                r0, r1 = segs[0]
+                return x[..., r0:r1, :]
+            return jnp.concatenate([x[..., r0:r1, :] for r0, r1 in segs],
+                                   axis=-2)
+
+        # per-band target-side arrays (shared across fields and lat
+        # shifts; north/south polar segments of one band are processed
+        # together so the stencil passes are emitted once per band)
+        btgt = []
+        for segs, Si in bands:
+            btgt.append((jnp.clip(seg_cat(dlon, segs), -Si, Si),
+                         [seg_cat(w, segs) for w in wlat],
+                         [seg_cat(w, segs) for w in wlon],
+                         seg_cat(djb, segs)))
+
         outs = []
         for fi in range(F):
             ext = self.extend(fields[fi])             # [K, J_ext, nlon]
             padded = jnp.concatenate(
                 [ext[..., -pad:], ext, ext[..., :pad]], axis=-1)
-            acc = jnp.zeros((K, nlat, nlon), fields.dtype)
-            for sj in range(-Sj, Sj + k):
-                A = jnp.zeros_like(phi_t)
-                for dj in range(k):
-                    A = A + jnp.where(djb + dj == sj, wlat[dj], 0.0)
-                row = padded[:, ng + sj: ng + sj + nlat, :]
-                P = jnp.zeros((K, nlat, nlon), fields.dtype)
-                for si in range(-Si + di0, Si + di0 + k):
-                    B = jnp.zeros_like(phi_t)
-                    for di in range(k):
-                        B = B + jnp.where(dlon + di0 + di == si,
-                                          wlon[di], 0.0)
-                    P = P + B * row[..., pad + si: pad + si + nlon]
-                acc = acc + A * P
-                # one barrier per lat-shift: the ~24 inner passes fuse
-                # into one VPU kernel; segments run sequentially so the
-                # scheduler holds one segment\'s buffers at a time (an
-                # unconstrained schedule materialized every pass: a
-                # 127 GB HLO-temp plan)
-                (acc, padded) = jax.lax.optimization_barrier(
-                    (acc, padded))
-            outs.append(acc)
+            pieces = []                               # (r0, rows) chunks
+            for (segs, Si), (dl_b, wlat_b, wlon_b, djb_b) in zip(bands,
+                                                                 btgt):
+                rows_b = sum(r1 - r0 for r0, r1 in segs)
+                acc = jnp.zeros((K, rows_b, nlon), fields.dtype)
+                for sj in range(-Sj, Sj + k):
+                    A = jnp.zeros_like(dl_b, dtype=wlat_b[0].dtype)
+                    for dj in range(k):
+                        A = A + jnp.where(djb_b + dj == sj, wlat_b[dj],
+                                          0.0)
+                    row = seg_cat(
+                        padded[:, ng + sj: ng + sj + nlat, :], segs)
+                    P = jnp.zeros((K, rows_b, nlon), fields.dtype)
+                    for si in range(-Si + di0, Si + di0 + k):
+                        B = jnp.zeros_like(A)
+                        for di in range(k):
+                            B = B + jnp.where(dl_b + di0 + di == si,
+                                              wlon_b[di], 0.0)
+                        P = P + B * row[..., pad + si: pad + si + nlon]
+                    acc = acc + A * P
+                    # one barrier per lat-shift: the inner passes fuse
+                    # into one VPU kernel; segments run sequentially so
+                    # the scheduler holds one segment's buffers at a
+                    # time (an unconstrained schedule materialized every
+                    # pass: a 127 GB HLO-temp plan)
+                    (acc, padded) = jax.lax.optimization_barrier(
+                        (acc, padded))
+                off = 0
+                for r0, r1 in segs:
+                    pieces.append((r0, acc[:, off:off + (r1 - r0), :]))
+                    off += r1 - r0
+            pieces.sort(key=lambda p: p[0])
+            outs.append(pieces[0][1] if len(pieces) == 1 else
+                        jnp.concatenate([p[1] for p in pieces], axis=1))
         return jnp.stack(outs)
+
+    def clamp_stats(self, lam_t, phi_t, cubic=True):
+        """Fraction of target points whose displacement exceeds the
+        window and is edge-truncated (jit-safe observability for the
+        trajectory truncation; advisor round-4 item)."""
+        k = 4 if cubic else 2
+        K, nlat, nlon = lam_t.shape
+        Sj = min(self.S_lat, self.ng - k + 1)
+        xi = lam_t / self.dlon
+        i1 = jnp.floor(xi).astype(jnp.int32)
+        i_col = jnp.arange(nlon, dtype=jnp.int32)[None, None, :]
+        dlon = i1 - i_col
+        dlon = (dlon + nlon // 2) % nlon - (nlon // 2)
+        lon_exc = jnp.zeros((), jnp.float32)
+        for segs, Si in self.lon_bands:
+            Si = min(Si, nlon // 2 - k)
+            for r0, r1 in segs:
+                lon_exc = lon_exc + jnp.sum(
+                    (jnp.abs(dlon[:, r0:r1]) > Si).astype(jnp.float32))
+        phi_ext = self.phi_ext
+        ng = self.ng
+
+        def prow(s):
+            return phi_ext[ng + s: ng + s + nlat][None, :, None]
+
+        cnt = jnp.zeros(lam_t.shape, jnp.int32)
+        for s in range(-Sj, Sj + 1):
+            cnt = cnt + (prow(s) >= phi_t).astype(jnp.int32)
+        djn = cnt - (Sj + 1)
+        raw = djn - (k - 2) // 2
+        lat_exc = jnp.sum(((raw < -Sj) | (raw > Sj)).astype(jnp.float32))
+        npts = float(K * nlat * nlon)
+        return {"lon": lon_exc / npts, "lat": lat_exc / npts}
 
     def _interp_gather(self, fields, lam_t, phi_t, cubic=True):
         """Gather-tap evaluation (CPU path).
@@ -318,11 +444,15 @@ class SLGrid:
                     # epilogue; same op order as _lagrange -> bitwise
                     # identical to a precomputed [k, K, P] weight stack)
                     nodes = [phi_ext[bj0 + l] for l in range(k)]
+                    # weight point clamped to the stencil span (no-op
+                    # unless j0 saturated at the extended-grid edge):
+                    # edge truncation instead of cubic extrapolation
+                    bphi_c = jnp.clip(bphi, nodes[k - 1], nodes[0])
                     num, den = 1.0, 1.0
                     for m in range(k):
                         if m == dj:
                             continue
-                        num = num * (bphi - nodes[m])
+                        num = num * (bphi_c - nodes[m])
                         den = den * (nodes[dj] - nodes[m])
                     wl = num / den
                     row = (bj0 + dj) * nlon               # [K, P]

@@ -102,12 +102,16 @@ def measure(sizes=None, per_dev=2, nx=32, ny=32, nz=64, substeps=12,
             ]
             ev1 = jax.jit(evolve)
             outs = [jax.block_until_ready(ev1(*c)) for c in chunks]
-            t0 = time.time()
+            # min-over-repeats: robust to host load spikes (a jittery
+            # ideal would otherwise make the efficiency ratio > 1)
+            el_ideal = None
             for _ in range(reps):
+                t0 = time.time()
                 outs = [ev1(*c) for c in chunks]      # async dispatch ...
                 jax.block_until_ready(outs)           # ... then one barrier
-            el_ideal = time.time() - t0
-            ups_ideal[m] = n_les * nx * ny * nz * substeps * reps / el_ideal
+                el = time.time() - t0
+                el_ideal = el if el_ideal is None else min(el_ideal, el)
+            ups_ideal[m] = n_les * nx * ny * nz * substeps / el_ideal
 
         st = pmesh.shard_fleet(st, mesh)
         spec = jax.tree.map(
@@ -116,11 +120,13 @@ def measure(sizes=None, per_dev=2, nx=32, ny=32, nz=64, substeps=12,
         ev = jax.jit(jax.shard_map(evolve, mesh=mesh, in_specs=spec,
                                    out_specs=spec[0]))
         st2 = jax.block_until_ready(ev(st, forcing))    # compile + warmup
-        t0 = time.time()
+        el_min = None
         for _ in range(reps):
+            t0 = time.time()
             st2 = jax.block_until_ready(ev(st2, forcing))
-        el = time.time() - t0
-        ups[m] = n_les * nx * ny * nz * substeps * reps / el
+            el = time.time() - t0
+            el_min = el if el_min is None else min(el_min, el)
+        ups[m] = n_les * nx * ny * nz * substeps / el_min
         if verbose:
             extra = ("  (ideal %.3e)" % ups_ideal[m]) if m in ups_ideal \
                 else ""
@@ -133,8 +139,15 @@ def measure(sizes=None, per_dev=2, nx=32, ny=32, nz=64, substeps=12,
         eff = {m: (ups[m] / m) / base for m in sizes}
     else:
         # fixed total work, same-size ideal baseline: sharded vs
-        # unpartitioned throughput on the SAME device count
-        eff = {m: min(ups[m] / ups_ideal[m], 1.0) for m in sizes}
+        # unpartitioned throughput on the SAME device count. The RAW
+        # ratio is reported — a clamp would hide a mis-measured ideal
+        # (slow ideal -> ratio > 1). Anything beyond timing jitter above
+        # 1 means the baseline itself is wrong: fail loudly.
+        eff = {m: ups[m] / ups_ideal[m] for m in sizes}
+        for m, e in eff.items():
+            assert e <= 1.05, (
+                "efficiency %.3f > 1.05 at %d devices: the ideal "
+                "(unpartitioned) baseline is mis-measured" % (e, m))
     result = {
         "bench": "scaling_efficiency",
         "mode": mode,

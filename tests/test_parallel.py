@@ -163,7 +163,10 @@ class TestScalingEfficiency:
                                nz=24, substeps=4, reps=2, verbose=False,
                                mode="fixed")
         eff = r["efficiency"]
-        assert all(v <= 1.0 for v in eff.values()), r
+        # raw (unclamped) ratios: > 1.05 means the ideal baseline is
+        # mis-measured (the harness itself asserts this too); a CPU-host
+        # timing-jitter margin above 1.0 is tolerated
+        assert all(v <= 1.05 for v in eff.values()), r
         assert eff["4"] >= 0.8, r
 
 
