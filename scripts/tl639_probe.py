@@ -54,13 +54,14 @@ def main():
     first = True
     for i in range(args.steps):
         print("step %d:" % i, flush=True)
-        prep = timed("sl_prep_dep", core._sl_prep_dep_jit, cst, state.now,
-                     state.prev, first)
-        angm = prep.pop("angm")
+        traj = timed("sl_traj", core._sl_traj_jit, cst, state.now, first)
+        stack = timed("sl_dep_stack", core._sl_stack_jit, cst, state.now,
+                      state.prev, first)
+        angm = traj["angm"]
         dep_vals, pi_dep = timed("sl_interp_dep", core._sl_dep_jit, cst,
-                                 prep["dep"], prep["pi_comb"],
-                                 *prep["angd"])
-        del prep
+                                 stack["dep"], stack["pi_comb"],
+                                 *traj["angd"])
+        del stack, traj
         mid = timed("sl_prep_mid", core._sl_prep_mid_jit, cst, state.now,
                     first)
         new = timed("sl_finish", core._sl_fin_jit, cst, mid["mid"],

@@ -121,6 +121,12 @@ class GCMCore:
             # dt sizes the latitude-banded interpolation windows for the
             # 150 m/s design wind at every latitude (semilag.SLGrid)
             self.slg = semilag.SLGrid(self.sht, dt=cfg.dt)
+            if cfg.split_phases:
+                # level-chunk the window interpolation (low-memory mode):
+                # largest divisor of nlev <= 16
+                self.slg.k_chunk = next(
+                    (kc for kc in range(min(16, cfg.nlev), 0, -1)
+                     if cfg.nlev % kc == 0), None)
         # warm the implicit-inverse caches (host-side numpy inversions)
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
         self.vc.implicit_inverse(cfg.dt / 4.0, cfg.trunc)
@@ -151,12 +157,14 @@ class GCMCore:
         self._apply_don_jit = jax.jit(
             self._apply_cst, static_argnums=(1,), donate_argnums=(2,))
         if don and cfg.advection == "sl":
-            # split the SL dynamics itself into prep-dep -> dep-interp
-            # -> prep-mid -> finish programs: fused, its HLO temporaries
-            # alone exceed the 16 GB chip at TL639/L60 (see
-            # semilag.sl_prep_dep docstring)
-            self._sl_prep_dep_jit = jax.jit(self._sl_prep_dep_cst,
-                                            static_argnums=(3,))
+            # split the SL dynamics itself into trajectories -> dep-stack
+            # -> dep-interp -> prep-mid -> finish programs: fused, the
+            # HLO temporaries exceed the 16 GB chip at TL639/L60 (see
+            # semilag.sl_trajectories docstring)
+            self._sl_traj_jit = jax.jit(self._sl_traj_cst,
+                                        static_argnums=(2,))
+            self._sl_stack_jit = jax.jit(self._sl_stack_cst,
+                                         static_argnums=(3,))
             self._sl_prep_mid_jit = jax.jit(self._sl_prep_mid_cst,
                                             static_argnums=(2,))
             self._sl_dep_jit = jax.jit(self._sl_dep_cst,
@@ -296,13 +304,15 @@ class GCMCore:
             # construction) and solve (interpolation + SI) programs
             if self.slg is not None:
                 cst = self.consts()
-                prep = self._sl_prep_dep_jit(cst, state.now, state.prev,
-                                             first)
-                self._tight_sync(prep["pi_comb"])
-                angm = prep.pop("angm")
+                traj = self._sl_traj_jit(cst, state.now, first)
+                self._tight_sync(traj["angm"][0])
+                stack = self._sl_stack_jit(cst, state.now, state.prev,
+                                           first)
+                self._tight_sync(stack["pi_comb"])
+                angm = traj["angm"]
                 dep_vals, pi_dep = self._sl_dep_jit(
-                    cst, prep["dep"], prep["pi_comb"], *prep["angd"])
-                del prep                     # donated to the dep program
+                    cst, stack["dep"], stack["pi_comb"], *traj["angd"])
+                del stack, traj              # donated to the dep program
                 self._tight_sync(pi_dep)
                 mid = self._sl_prep_mid_jit(cst, state.now, first)
                 self._tight_sync(mid["N_pi"])
@@ -315,14 +325,21 @@ class GCMCore:
             return self._phase_a_phys_jit(self.consts(), state, new)
         return self._phase_a_jit(self.consts(), state, first)
 
-    def _sl_prep_dep_cst(self, cst, now, prev, first):
+    def _sl_traj_cst(self, cst, now, first):
         from . import semilag
         with self.bound(cst):
             dt2 = self.cfg.dt if first else 2.0 * self.cfg.dt
-            return semilag.sl_prep_dep(self.sht, self.vc, self.slg, now,
-                                       prev, dt2,
-                                       decenter=self.cfg.sl_decenter,
-                                       coriolis=self.sl_cor)
+            return semilag.sl_trajectories(self.sht, self.vc, self.slg,
+                                           now, dt2)
+
+    def _sl_stack_cst(self, cst, now, prev, first):
+        from . import semilag
+        with self.bound(cst):
+            dt2 = self.cfg.dt if first else 2.0 * self.cfg.dt
+            return semilag.sl_dep_stack(self.sht, self.vc, self.slg, now,
+                                        prev, dt2,
+                                        decenter=self.cfg.sl_decenter,
+                                        coriolis=self.sl_cor)
 
     def _sl_prep_mid_cst(self, cst, now, first):
         from . import semilag

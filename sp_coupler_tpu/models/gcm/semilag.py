@@ -226,6 +226,35 @@ class SLGrid:
         return self._interp_gather(fields, lam_t, phi_t, cubic)
 
     def _interp_window(self, fields, lam_t, phi_t, cubic=True):
+        """Windowed-stencil interpolation; dispatches to the body either
+        whole or in level chunks (``k_chunk``, set by GCMCore in the
+        split-phase low-memory mode): the body's per-level mask/weight
+        working set is ~13 x 4 B per gridpoint-level — ~2.5 GB at
+        TL639/L60 — and chunking the K axis under lax.scan caps it at
+        one block's worth. Numerically identical (levels are
+        independent)."""
+        kc = getattr(self, "k_chunk", None)
+        K = lam_t.shape[0]
+        if kc and K > kc and K % kc == 0:
+            nb = K // kc
+
+            def body(_, i):
+                f = jax.lax.dynamic_slice_in_dim(fields, i * kc, kc,
+                                                 axis=1)
+                lt = jax.lax.dynamic_slice_in_dim(lam_t, i * kc, kc,
+                                                  axis=0)
+                pt = jax.lax.dynamic_slice_in_dim(phi_t, i * kc, kc,
+                                                  axis=0)
+                return None, self._interp_window_body(f, lt, pt, cubic)
+
+            _, out = jax.lax.scan(body, None,
+                                  jnp.arange(nb, dtype=jnp.int32))
+            # [nb, F, kc, nlat, nlon] -> [F, K, nlat, nlon]
+            return jnp.swapaxes(out, 0, 1).reshape(
+                fields.shape[0], K, self.nlat, self.nlon)
+        return self._interp_window_body(fields, lam_t, phi_t, cubic)
+
+    def _interp_window_body(self, fields, lam_t, phi_t, cubic=True):
         """Windowed-stencil evaluation of the same k*k Lagrange taps.
 
         value(r, c) = sum_dj sum_di wlat_dj wlon_di f[j0+dj, i1+di]
@@ -540,36 +569,40 @@ def _coriolis_inverse(W, r3, a):
     return (W - a * rxW) / (1.0 + a * a)
 
 
-def sl_prep_dep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
-                coriolis="midpoint"):
-    """Departure side of the SL step: trajectories + the departure-time
-    combined-field stack (NO interpolation, NO midpoint terms).
+def sl_trajectories(sht, vc, slg: SLGrid, now, tau):
+    """Trajectory angles from the arrival-time winds: 3-D great-circle
+    departure/midpoint pairs plus the 2-D pair of the mass-weighted mean
+    wind (continuity: d(lnps)/dt following ubar = -sum_k dpt_k D_k).
 
-    In the low-memory split mode (GCMConfig.split_phases) this runs as
-    its own device program — the full prep's temporaries together with
-    its ~3.7 GB of outputs leave no headroom on a 16 GB chip at
-    TL639/L60, so the departure and midpoint halves are separate
-    programs (sl_prep composes them for the fused path).
+    Its own device program in the low-memory split mode: the midpoint
+    wind interpolation's banded-window working set and the departure
+    stack's transform temporaries must not be co-resident at TL639/L60
+    (fused, sl_prep_dep alone needs ~16.6 GB on a 15.75 GB chip).
     """
-    L = vc.nlev
     h = tau / 2.0
-    hd = (1.0 - decenter) * h          # explicit / departure half
     a = sht.radius
     _P = jax.lax.Precision.HIGHEST
-
-    # only the winds of the arrival-time state are needed here
     u, v = sht.uv_from_vort_div(now.vort, now.div)
-    gp = dycore.to_grid(sht, vc, prev, diag=False)   # departure-time fields
-
     wbar = vc.dB if vc.hybrid else vc.ds
-
-    # ---- trajectories ----------------------------------------------------
     (lam_d, phi_d), (lam_m, phi_m) = slg.trajectories(u, v, h, a)
-    # 2-D trajectory of the mass-weighted mean wind (continuity equation:
-    # d(lnps)/dt following ubar = -sum_k dpt_k D_k in sigma/hybrid form)
     ubar = jnp.einsum("k,kij->ij", wbar, u, precision=_P)[None]
     vbar = jnp.einsum("k,kij->ij", wbar, v, precision=_P)[None]
     (lam_d2, phi_d2), (lam_m2, phi_m2) = slg.trajectories(ubar, vbar, h, a)
+    return {"angd": (lam_d, phi_d, lam_d2, phi_d2),
+            "angm": (lam_m, phi_m, lam_m2, phi_m2)}
+
+
+def sl_dep_stack(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
+                 coriolis="midpoint"):
+    """The departure-time combined-field stack X- + h (L X)- (NO
+    trajectories, NO interpolation, NO midpoint terms). Own device
+    program in split mode (see sl_trajectories)."""
+    L = vc.nlev
+    h = tau / 2.0
+    hd = (1.0 - decenter) * h          # explicit / departure half
+    _P = jax.lax.Precision.HIGHEST
+
+    gp = dycore.to_grid(sht, vc, prev, diag=False)   # departure-time fields
 
     # ---- departure-time combined fields  X- + h (L X)-  ------------------
     # gamma = G T + R Tref pi (the implicitly-treated geopotential head)
@@ -614,9 +647,17 @@ def sl_prep_dep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
                                                          slg.nlon),
     ], axis=0)                                    # [8, L, nlat, nlon]
 
-    return {"dep": dep_fields, "pi_comb": pi_comb,
-            "angd": (lam_d, phi_d, lam_d2, phi_d2),
-            "angm": (lam_m, phi_m, lam_m2, phi_m2)}
+    return {"dep": dep_fields, "pi_comb": pi_comb}
+
+
+def sl_prep_dep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
+                coriolis="midpoint"):
+    """Departure side of the SL step: trajectories + the departure-time
+    combined-field stack (the fused-path composition of sl_trajectories
+    + sl_dep_stack; split mode runs them as separate programs)."""
+    out = sl_dep_stack(sht, vc, slg, now, prev, tau, decenter, coriolis)
+    out.update(sl_trajectories(sht, vc, slg, now, tau))
+    return out
 
 
 def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):

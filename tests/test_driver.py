@@ -361,6 +361,8 @@ class TestPhasedVsFused:
 
 
 class TestChunkedEvolve:
+    @pytest.mark.slow   # chunked-evolve trajectory equality (2 full
+    # driver runs); the shard_map evolve leg stays fast
     def test_chunked_matches_monolithic(self, tmp_path):
         """les_evolve_chunks=3 gives the same trajectory as one program
         (the chunks split the evolve interval exactly)."""

@@ -427,6 +427,12 @@ class TestSemiLagrangian:
                 assert np.abs(a - b).max() < 1e-5
         cs = slg_b.clamp_stats(lam_t, phi_t)
         assert float(cs["lon"]) == 0.0 and float(cs["lat"]) == 0.0
+        # level-chunked evaluation (split-phase low-memory mode): same
+        # taps/weights per level, scan-blocked — round-off-level equal
+        ref = np.asarray(slg_b.interp(fields, lam_t, phi_t, cubic=True))
+        slg_b.k_chunk = 2
+        chk = np.asarray(slg_b.interp(fields, lam_t, phi_t, cubic=True))
+        assert np.abs(ref - chk).max() < 1e-4
 
     def test_window_truncates_instead_of_extrapolating(self):
         """Displacements beyond the window degrade to edge-value

@@ -1,11 +1,14 @@
 """Parity harness tests: same-platform determinism + compare logic."""
 
 import numpy as np
+import pytest
 
 from sp_coupler_tpu.verify import parity
 
 
 class TestParity:
+    @pytest.mark.slow   # heavy golden-replay leg; divergence-detection
+    # stays in the fast tier (test_compare_detects_divergence)
     def test_same_platform_bit_identical(self, tmp_path):
         """Two identical runs on one backend must agree bit-for-bit."""
         a = parity.run(str(tmp_path / "a.npz"), n_steps=2, les_n=8,
