@@ -59,7 +59,7 @@ def run_size(args, n):
         gcm_truncation=args.trunc, gcm_levels=args.nlev,
         gcm_dt=args.gcm_dt,
         les_itot=args.nx, les_jtot=args.ny, les_ktot=args.nz,
-        les_xsize=200.0 * args.nx, les_ysize=200.0 * args.ny,
+        les_xsize=args.dx * args.nx, les_ysize=args.dx * args.ny,
         les_dz=args.dz, les_dt=args.les_dt,
         les_nsubsteps=args.nsubsteps,
         les_evolve_chunks=args.evolve_chunks,
@@ -89,7 +89,10 @@ def run_size(args, n):
     with open(os.path.join(odir, "timing.txt")) as f:
         for ln in f:
             parts = ln.split()
-            if not ln.startswith("#") and len(parts) >= 7:
+            # data rows start with the fractional unix start time (the
+            # sp-column index line after the header has bare integers)
+            if (not ln.startswith("#") and len(parts) >= 7
+                    and "." in parts[0]):
                 io_s.append(float(parts[-1]))
     spifs_mb = os.path.getsize(os.path.join(odir, "spifs.nc")) / 1e6
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
@@ -115,6 +118,7 @@ def main():
     ap.add_argument("--nx", type=int, default=16)
     ap.add_argument("--ny", type=int, default=16)
     ap.add_argument("--nz", type=int, default=32)
+    ap.add_argument("--dx", type=float, default=200.0)
     ap.add_argument("--dz", type=float, default=100.0)
     ap.add_argument("--les_dt", type=float, default=-1.0)
     ap.add_argument("--nsubsteps", type=int, default=0)

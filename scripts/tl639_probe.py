@@ -64,9 +64,11 @@ def main():
         del stack, traj
         mid = timed("sl_prep_mid", core._sl_prep_mid_jit, cst, state.now,
                     first)
-        new = timed("sl_finish", core._sl_fin_jit, cst, mid["mid"],
+        arr = timed("sl_arrivals", core._sl_arr_jit, cst, mid["mid"],
                     mid["N_pi"], *angm, dep_vals, pi_dep, first)
         del mid, angm, dep_vals, pi_dep
+        new = timed("sl_solve", core._sl_solve_jit, cst, *arr, first)
+        del arr
         state2 = timed("phase_a_phys", core._phase_a_phys_jit, cst, state,
                        new)
         state2 = timed("phase_cloud", core._phase_cloud_jit, state2)

@@ -169,8 +169,11 @@ class GCMCore:
                                             static_argnums=(2,))
             self._sl_dep_jit = jax.jit(self._sl_dep_cst,
                                        donate_argnums=(1, 2, 3, 4, 5, 6))
-            self._sl_fin_jit = jax.jit(
-                self._sl_fin_cst, static_argnums=(9,),
+            self._sl_arr_jit = jax.jit(
+                self._sl_arr_cst, static_argnums=(9,),
+                donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+            self._sl_solve_jit = jax.jit(
+                self._sl_solve_cst, static_argnums=(9,),
                 donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 
     # ---- constant threading -------------------------------------------
@@ -316,9 +319,12 @@ class GCMCore:
                 self._tight_sync(pi_dep)
                 mid = self._sl_prep_mid_jit(cst, state.now, first)
                 self._tight_sync(mid["N_pi"])
-                new = self._sl_fin_jit(cst, mid["mid"], mid["N_pi"],
+                arr = self._sl_arr_jit(cst, mid["mid"], mid["N_pi"],
                                        *angm, dep_vals, pi_dep, first)
                 del mid, angm, dep_vals, pi_dep
+                self._tight_sync(arr[0])
+                new = self._sl_solve_jit(cst, *arr, first)
+                del arr
             else:
                 new = self._phase_a_dyn_jit(self.consts(), state, first)
             self._tight_sync(new.vort)
@@ -354,17 +360,24 @@ class GCMCore:
             return semilag.sl_interp_dep(self.slg, dep, pi_comb,
                                          lam_d, phi_d, lam_d2, phi_d2)
 
-    def _sl_fin_cst(self, cst, mid, N_pi, lam_m, phi_m, lam_m2, phi_m2,
+    def _sl_arr_cst(self, cst, mid, N_pi, lam_m, phi_m, lam_m2, phi_m2,
                     dep_vals, pi_dep, first):
+        from . import semilag
+        with self.bound(cst):
+            dt2 = self.cfg.dt if first else 2.0 * self.cfg.dt
+            return semilag.sl_arrivals(self.slg, mid, N_pi, lam_m, phi_m,
+                                       lam_m2, phi_m2, dep_vals, pi_dep,
+                                       dt2, coriolis=self.sl_cor)
+
+    def _sl_solve_cst(self, cst, u_t, v_t, T_t, q_t, ql_t, qi_t, a_t,
+                      pi_t, first):
         from . import semilag
         with self.bound(cst):
             cfg = self.cfg
             dt2 = cfg.dt if first else 2.0 * cfg.dt
-            new = semilag.sl_finish(self.sht, self.vc, self.slg, mid, N_pi,
-                                    lam_m, phi_m, lam_m2, phi_m2,
-                                    dep_vals, pi_dep, dt2,
-                                    decenter=cfg.sl_decenter,
-                                    coriolis=self.sl_cor)
+            new = semilag.sl_solve(self.sht, self.vc, u_t, v_t, T_t, q_t,
+                                   ql_t, qi_t, a_t, pi_t, dt2,
+                                   decenter=cfg.sl_decenter)
             return dycore.hyperdiffuse(self.sht, new, cfg.dt,
                                        cfg.diffusion_tau, damp_lnps=True)
 

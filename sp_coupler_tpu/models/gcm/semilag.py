@@ -782,18 +782,17 @@ def sl_interp_dep(slg: SLGrid, dep_fields, pi_comb, lam_d, phi_d,
     return dep_vals, pi_dep
 
 
-def sl_finish(sht, vc, slg: SLGrid, mid_fields, N_pi, lam_m, phi_m,
-              lam_m2, phi_m2, dep_vals, pi_dep, tau, decenter=0.1,
-              coriolis="midpoint"):
-    """Midpoint (linear) interpolation + arrival-point Coriolis inverse,
-    spectral analysis, and the off-centered semi-implicit solve."""
+def sl_arrivals(slg: SLGrid, mid_fields, N_pi, lam_m, phi_m,
+                lam_m2, phi_m2, dep_vals, pi_dep, tau,
+                coriolis="midpoint"):
+    """Midpoint (linear) interpolation + arrival-point combination and
+    Coriolis inverse — the grid-space half of sl_finish. Own device
+    program in split mode: its interpolation working set and the solve
+    half's transform temporaries must not be co-resident at TL639/L60."""
     h = tau / 2.0
-    ha = (1.0 + decenter) * h          # implicit / arrival half
-    _P = jax.lax.Precision.HIGHEST
     e3, n3 = slg.e[:, None], slg.n[:, None]
     r3 = slg.r[:, None]
     fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
-    dtype = dep_vals.dtype
 
     # Sequence the midpoint gather working set after the departure one
     # (meaningful in the fused path; a no-op ordering when sl_interp_dep
@@ -803,26 +802,61 @@ def sl_finish(sht, vc, slg: SLGrid, mid_fields, N_pi, lam_m, phi_m,
         (mid_fields, N_pi, lam_m, phi_m, lam_m2, phi_m2,
          dep_vals, pi_dep))
 
-    # ---- midpoint interpolation (linear) ---------------------------------
-    mid_vals = slg.interp(mid_fields, lam_m, phi_m, cubic=False)
+    def combine(mid_b, dep_b, lam_b, phi_b):
+        """Midpoint (linear) interpolation + arrival combination for one
+        level block (levels are independent)."""
+        mid_vals = slg.interp(mid_b, lam_b, phi_b, cubic=False)
+        W3 = dep_b[:3] + tau * mid_vals[:3]
+        # tangent projection at the arrival point (removes the
+        # constraint component); under the trapezoid treatment the
+        # implicit arrival half of the Coriolis rotation follows
+        W3 = W3 - jnp.sum(W3 * r3, axis=0, keepdims=True) * r3
+        if coriolis == "trapezoid":
+            V3_t = _coriolis_inverse(W3, r3, h * fcor[None])
+        else:
+            V3_t = W3
+        u_t = jnp.sum(V3_t * e3, axis=0)
+        v_t = jnp.sum(V3_t * n3, axis=0)
+        arrived = dep_b[3:] + tau * mid_vals[3:]
+        return jnp.concatenate(
+            [u_t[None], v_t[None], arrived], axis=0)   # [7, kc, ...]
 
-    W3 = dep_vals[:3] + tau * mid_vals[:3]
-    # tangent projection at the arrival point (removes the constraint
-    # component); under the trapezoid treatment the implicit arrival
-    # half of the Coriolis rotation follows
-    W3 = W3 - jnp.sum(W3 * r3, axis=0, keepdims=True) * r3
-    if coriolis == "trapezoid":
-        V3_t = _coriolis_inverse(W3, r3, h * fcor[None])
+    kc = getattr(slg, "k_chunk", None)
+    K = lam_m.shape[0]
+    if kc and K > kc and K % kc == 0:
+        # level-chunk the whole interp+combine (low-memory mode): the
+        # full-size midpoint-interp output never materializes
+        def body(_, i):
+            mid_b = jax.lax.dynamic_slice_in_dim(mid_fields, i * kc, kc,
+                                                 axis=1)
+            dep_b = jax.lax.dynamic_slice_in_dim(dep_vals, i * kc, kc,
+                                                 axis=1)
+            lam_b = jax.lax.dynamic_slice_in_dim(lam_m, i * kc, kc,
+                                                 axis=0)
+            phi_b = jax.lax.dynamic_slice_in_dim(phi_m, i * kc, kc,
+                                                 axis=0)
+            return None, combine(mid_b, dep_b, lam_b, phi_b)
+
+        _, out = jax.lax.scan(body, None,
+                              jnp.arange(K // kc, dtype=jnp.int32))
+        out = jnp.swapaxes(out, 0, 1).reshape(7, K, slg.nlat, slg.nlon)
     else:
-        V3_t = W3
-    u_t = jnp.sum(V3_t * e3, axis=0)
-    v_t = jnp.sum(V3_t * n3, axis=0)
-
-    arrived = dep_vals[3:] + tau * mid_vals[3:]
-    T_t, q_t, ql_t, qi_t, a_t = [arrived[i] for i in range(5)]
+        out = combine(mid_fields, dep_vals, lam_m, phi_m)
+    u_t, v_t, T_t, q_t, ql_t, qi_t, a_t = [out[i] for i in range(7)]
 
     pi_mid = slg.interp(N_pi[None], lam_m2, phi_m2, cubic=False)
     pi_t = (pi_dep + tau * pi_mid)[0, 0]
+    return u_t, v_t, T_t, q_t, ql_t, qi_t, a_t, pi_t
+
+
+def sl_solve(sht, vc, u_t, v_t, T_t, q_t, ql_t, qi_t, a_t, pi_t, tau,
+             decenter=0.1):
+    """Spectral analysis of the arrival fields + the off-centered
+    semi-implicit solve — the spectral half of sl_finish."""
+    h = tau / 2.0
+    ha = (1.0 + decenter) * h          # implicit / arrival half
+    _P = jax.lax.Precision.HIGHEST
+    dtype = T_t.dtype
 
     # ---- spectral analysis + semi-implicit solve at arrival ---------------
     vort_new, D_tilde = sht.vort_div_from_uv(u_t, v_t)
@@ -852,6 +886,16 @@ def sl_finish(sht, vc, slg: SLGrid, mid_fields, N_pi, lam_m, phi_m,
         ql=sht.analyze(ql_t).astype(dtype),
         qi=sht.analyze(qi_t).astype(dtype),
         a=sht.analyze(a_t).astype(dtype))
+
+
+def sl_finish(sht, vc, slg: SLGrid, mid_fields, N_pi, lam_m, phi_m,
+              lam_m2, phi_m2, dep_vals, pi_dep, tau, decenter=0.1,
+              coriolis="midpoint"):
+    """Midpoint interpolation + arrival combination + semi-implicit
+    solve (the fused-path composition of sl_arrivals + sl_solve)."""
+    arr = sl_arrivals(slg, mid_fields, N_pi, lam_m, phi_m, lam_m2,
+                      phi_m2, dep_vals, pi_dep, tau, coriolis)
+    return sl_solve(sht, vc, *arr, tau, decenter=decenter)
 
 
 def sl_step(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
