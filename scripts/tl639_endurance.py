@@ -88,29 +88,42 @@ def main():
     hist = []
     t0 = time.time()
     bad_at = None
-    for i in range(args.steps):
-        state = strip(state)
-        state = stepn(state)
-        if (i + 1) % 8 == 0:
-            # tiny fetch: bounds the async dispatch queue (the tunneled
-            # runtime wedges under deep unsynced queues) at ~ms cost
-            np.asarray(state.now.vort[0, 0, 0, 0])
-        if (i + 1) % 50 == 0 or i + 1 == args.steps:
-            u = np.asarray(state.grid.u)
-            T = np.asarray(state.grid.T)
-            finite = bool(np.all(np.isfinite(u)) and np.all(np.isfinite(T)))
-            row = {"step": i + 1, "umax": round(float(np.abs(u).max()), 1),
-                   "Tmin": round(float(T.min()), 1),
-                   "Tmax": round(float(T.max()), 1), "finite": finite}
-            hist.append(row)
-            print(row, flush=True)
-            if not finite:
-                bad_at = i + 1
-                break
+    crash = None
+    try:
+        for i in range(args.steps):
+            state = strip(state)
+            state = stepn(state)
+            if (i + 1) % 8 == 0:
+                # tiny fetch: bounds the async dispatch queue (the
+                # tunneled runtime wedges under deep unsynced queues)
+                np.asarray(state.now.vort[0, 0, 0, 0])
+            if (i + 1) % 50 == 0 or i + 1 == args.steps:
+                u = np.asarray(state.grid.u)
+                T = np.asarray(state.grid.T)
+                finite = bool(np.all(np.isfinite(u))
+                              and np.all(np.isfinite(T)))
+                row = {"step": i + 1,
+                       "umax": round(float(np.abs(u).max()), 1),
+                       "Tmin": round(float(T.min()), 1),
+                       "Tmax": round(float(T.max()), 1), "finite": finite}
+                hist.append(row)
+                print(row, flush=True)
+                if not finite:
+                    bad_at = i + 1
+                    break
+    except Exception as e:  # write an honest partial artifact on a crash
+        crash = "%s: %s" % (type(e).__name__, str(e)[:300])
+        bad_at = (len(hist) * 50) or 1
+        print("CRASH at ~step %d: %s" % (bad_at, crash), flush=True)
+        if not hist:
+            hist = [{"step": 0, "umax": float("nan"),
+                     "Tmin": float("nan"), "Tmax": float("nan"),
+                     "finite": False}]
     wall = time.time() - t0
     step_s = wall / (bad_at or args.steps)
     umax_final = hist[-1]["umax"]
-    ok = (bad_at is None and 10.0 <= umax_final <= 150.0
+    ok = (bad_at is None and crash is None
+          and 10.0 <= umax_final <= 150.0
           and 150.0 < hist[-1]["Tmin"] and hist[-1]["Tmax"] < 340.0)
     line = {"bench": "tl639_endurance", "backend": jax.default_backend(),
             "trunc": args.trunc, "nlev": args.nlev, "dt_s": args.dt,
@@ -139,6 +152,8 @@ def main():
         for r in hist:
             f.write("| %d | %.1f | %.1f | %.1f | %s |\n" % (
                 r["step"], r["umax"], r["Tmin"], r["Tmax"], r["finite"]))
+        if crash:
+            f.write("\nRun aborted at ~step %d: `%s`\n" % (bad_at, crash))
         f.write("\n**Verdict: %s**\n" % ("PASS" if ok else "FAIL"))
     print("wrote", out)
     return 0 if ok else 1

@@ -123,9 +123,11 @@ class GCMCore:
             self.slg = semilag.SLGrid(self.sht, dt=cfg.dt)
             if cfg.split_phases:
                 # level-chunk the window interpolation (low-memory mode):
-                # largest divisor of nlev <= 16
+                # largest divisor of nlev <= 8 — the interp body's HLO
+                # temp measured ~2.9 GB + 0.5 GB/level at TL639, so small
+                # blocks keep the split programs inside a 16 GB chip
                 self.slg.k_chunk = next(
-                    (kc for kc in range(min(16, cfg.nlev), 0, -1)
+                    (kc for kc in range(min(8, cfg.nlev), 0, -1)
                      if cfg.nlev % kc == 0), None)
         # warm the implicit-inverse caches (host-side numpy inversions)
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)
@@ -357,8 +359,12 @@ class GCMCore:
     def _sl_dep_cst(self, cst, dep, pi_comb, lam_d, phi_d, lam_d2, phi_d2):
         from . import semilag
         with self.bound(cst):
+            # blocked output: sl_arrivals consumes the level blocks
+            # natively, skipping a ~1.5 GB de-blocking transpose at
+            # TL639/L60 on each side
             return semilag.sl_interp_dep(self.slg, dep, pi_comb,
-                                         lam_d, phi_d, lam_d2, phi_d2)
+                                         lam_d, phi_d, lam_d2, phi_d2,
+                                         blocks=True)
 
     def _sl_arr_cst(self, cst, mid, N_pi, lam_m, phi_m, lam_m2, phi_m2,
                     dep_vals, pi_dep, first):

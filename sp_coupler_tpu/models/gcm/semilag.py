@@ -212,7 +212,7 @@ class SLGrid:
             w.append(num / den)
         return w
 
-    def interp(self, fields, lam_t, phi_t, cubic=True):
+    def interp(self, fields, lam_t, phi_t, cubic=True, out_blocks=False):
         """Interpolate a stack of fields at target points.
 
         fields: [F, K, nlat, nlon] (K broadcast dim, e.g. levels; the
@@ -220,12 +220,33 @@ class SLGrid:
         lam_t, phi_t: [K, nlat, nlon] target angles (lam in [0, 2 pi)).
         Returns [F, K, nlat, nlon]. Dispatches on self.method (see the
         class docstring).
+
+        out_blocks=True (split mode, requires k_chunk dividing K):
+        returns the level-chunked layout [K/kc, F, kc, nlat, nlon]
+        directly — skipping the multi-GB de-blocking transpose at
+        TL639/L60; the consumer (sl_arrivals) iterates blocks natively.
         """
         if self.method == "window":
-            return self._interp_window(fields, lam_t, phi_t, cubic)
-        return self._interp_gather(fields, lam_t, phi_t, cubic)
+            out = self._interp_window(fields, lam_t, phi_t, cubic,
+                                      keep_blocks=out_blocks)
+            if out_blocks and out.ndim == 4:
+                out = self._to_blocks(out)
+            return out
+        out = self._interp_gather(fields, lam_t, phi_t, cubic)
+        return self._to_blocks(out) if out_blocks else out
 
-    def _interp_window(self, fields, lam_t, phi_t, cubic=True):
+    def _to_blocks(self, out):
+        """[F, K, nlat, nlon] -> [K/kc, F, kc, nlat, nlon] (kc = k_chunk;
+        identity-shaped fallback [1, F, K, ...] when chunking is off)."""
+        F, K = out.shape[:2]
+        kc = getattr(self, "k_chunk", None) or K
+        if K % kc != 0:
+            kc = K
+        return jnp.swapaxes(
+            out.reshape(F, K // kc, kc, self.nlat, self.nlon), 0, 1)
+
+    def _interp_window(self, fields, lam_t, phi_t, cubic=True,
+                       keep_blocks=False):
         """Windowed-stencil interpolation; dispatches to the body either
         whole or in level chunks (``k_chunk``, set by GCMCore in the
         split-phase low-memory mode): the body's per-level mask/weight
@@ -249,6 +270,8 @@ class SLGrid:
 
             _, out = jax.lax.scan(body, None,
                                   jnp.arange(nb, dtype=jnp.int32))
+            if keep_blocks:
+                return out                 # [nb, F, kc, nlat, nlon]
             # [nb, F, kc, nlat, nlon] -> [F, K, nlat, nlon]
             return jnp.swapaxes(out, 0, 1).reshape(
                 fields.shape[0], K, self.nlat, self.nlon)
@@ -772,11 +795,13 @@ def sl_prep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
 
 
 def sl_interp_dep(slg: SLGrid, dep_fields, pi_comb, lam_d, phi_d,
-                  lam_d2, phi_d2):
+                  lam_d2, phi_d2, blocks=False):
     """Departure-point (cubic) interpolation of the combined fields.
     Its own device program in split mode: the gather working set and
-    sl_finish's must not be co-resident at TL639/L60."""
-    dep_vals = slg.interp(dep_fields, lam_d, phi_d, cubic=True)
+    sl_finish's must not be co-resident at TL639/L60. ``blocks=True``
+    returns dep_vals in the level-chunked layout (see SLGrid.interp)."""
+    dep_vals = slg.interp(dep_fields, lam_d, phi_d, cubic=True,
+                          out_blocks=blocks)
     # pi is 2-D: fields [F=1, K=1, nlat, nlon], targets [K=1, nlat, nlon]
     pi_dep = slg.interp(pi_comb[None], lam_d2, phi_d2, cubic=True)
     return dep_vals, pi_dep
@@ -823,22 +848,35 @@ def sl_arrivals(slg: SLGrid, mid_fields, N_pi, lam_m, phi_m,
 
     kc = getattr(slg, "k_chunk", None)
     K = lam_m.shape[0]
-    if kc and K > kc and K % kc == 0:
+    blocked = dep_vals.ndim == 5          # [nb, 8, kc, nlat, nlon]
+    if blocked or (kc and K > kc and K % kc == 0):
         # level-chunk the whole interp+combine (low-memory mode): the
-        # full-size midpoint-interp output never materializes
-        def body(_, i):
-            mid_b = jax.lax.dynamic_slice_in_dim(mid_fields, i * kc, kc,
-                                                 axis=1)
-            dep_b = jax.lax.dynamic_slice_in_dim(dep_vals, i * kc, kc,
-                                                 axis=1)
-            lam_b = jax.lax.dynamic_slice_in_dim(lam_m, i * kc, kc,
+        # full-size midpoint-interp output never materializes; a blocked
+        # dep_vals (sl_interp_dep blocks=True) is consumed natively as
+        # the scan xs — no de-blocking transpose on either side
+        kcb = dep_vals.shape[2] if blocked else kc
+        nb = K // kcb
+
+        def body(_, xs):
+            i, dep_b = xs
+            if dep_b is None:
+                dep_b = jax.lax.dynamic_slice_in_dim(dep_vals, i * kcb,
+                                                     kcb, axis=1)
+            mid_b = jax.lax.dynamic_slice_in_dim(mid_fields, i * kcb,
+                                                 kcb, axis=1)
+            lam_b = jax.lax.dynamic_slice_in_dim(lam_m, i * kcb, kcb,
                                                  axis=0)
-            phi_b = jax.lax.dynamic_slice_in_dim(phi_m, i * kc, kc,
+            phi_b = jax.lax.dynamic_slice_in_dim(phi_m, i * kcb, kcb,
                                                  axis=0)
             return None, combine(mid_b, dep_b, lam_b, phi_b)
 
-        _, out = jax.lax.scan(body, None,
-                              jnp.arange(K // kc, dtype=jnp.int32))
+        idx = jnp.arange(nb, dtype=jnp.int32)
+        if blocked:
+            _, out = jax.lax.scan(
+                lambda c, xs: body(c, xs), None, (idx, dep_vals))
+        else:
+            _, out = jax.lax.scan(
+                lambda c, i: body(c, (i, None)), None, idx)
         out = jnp.swapaxes(out, 0, 1).reshape(7, K, slg.nlat, slg.nlon)
     else:
         out = combine(mid_fields, dep_vals, lam_m, phi_m)

@@ -179,6 +179,7 @@ class TestFusedPath:
             assert arr.shape[0] == 2 and np.all(np.isfinite(arr)), var
         ds.close()
 
+    @pytest.mark.slow   # spinup leg; the fused path itself stays fast
     def test_spinup_then_fused(self, tmp_path):
         cfg = self._cfg(tmp_path, les_spinup=60.0, les_spinup_steps=2)
         r = SPRunner(cfg, [geometry.Point((300.0, 15.0))])
@@ -192,6 +193,8 @@ class TestFusedPath:
         assert np.all(np.isfinite(thl))
         ds.close()
 
+    @pytest.mark.slow   # mesh topology e2e; sharding correctness stays
+    # fast in test_parallel.py
     def test_meshed_run(self, tmp_path):
         """--mesh_les/--lesprocs topology: fleet sharded over the 8 virtual
         devices (les=2 instances x 2x2 intra-LES decomposition)."""
@@ -210,6 +213,7 @@ class TestFusedPath:
             assert thl.shape == (2, 24) and np.all(np.isfinite(thl))
         ds.close()
 
+    @pytest.mark.slow   # periodic-checkpoint leg; restart_roundtrip stays fast
     def test_periodic_restart(self, tmp_path):
         """restart_steps=1 writes a checkpoint after every coupled step
         (reference: OpenIFS restart_steps / DALES trestart scheduling)."""
@@ -304,6 +308,7 @@ class TestFusedVsGeneric:
         # the nudge actually engaged: beta written on post-first steps
         assert np.any(fus["qt_beta"][1:] != 0.0)
 
+    @pytest.mark.slow   # second fused-vs-generic leg; qt_variance stays fast
     def test_fused_vs_generic_cplsurf(self, tmp_path):
         kw = dict(cplsurf=True)
         fus = self._run(tmp_path, "fused", True, **kw)
@@ -392,6 +397,8 @@ class TestChunkedEvolve:
         np.testing.assert_allclose(p2["QT"], p1["QT"], rtol=2e-5,
                                    atol=1e-8)
 
+    @pytest.mark.slow   # shard_map evolve leg; covered fast by
+    # test_parallel.py + the efficiency harness
     def test_les_axis_shard_map_evolve(self, tmp_path):
         """Pure instance-parallel mesh (les=8): the fused coupled step
         runs the adaptive evolve under shard_map (per-device while_loop,
