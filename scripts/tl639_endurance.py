@@ -37,7 +37,9 @@ def _inject(core, s, jet_amp):
     u = g.u + jet * jnp.exp(-((sig - 0.25) / 0.25) ** 2)
     vort, div = core.sht.vort_div_from_uv(u, g.v)
     now = s.now._replace(vort=vort, div=div)
-    return s._replace(now=now, prev=now)
+    # alias new as well: keeping the PRE-inject spectral set alive in
+    # s.new is +1.6 GB at TL639/L60 — enough to crash the first step
+    return s._replace(now=now, prev=now, new=now)
 
 
 def main():
@@ -82,7 +84,6 @@ def main():
         return s._replace(grid=None, sfc=None)
 
     state = strip(state)
-    state = core.step(state, first=True)
     stepn = core.step
 
     hist = []
@@ -90,6 +91,7 @@ def main():
     bad_at = None
     crash = None
     try:
+        state = core.step(state, first=True)
         for i in range(args.steps):
             state = strip(state)
             state = stepn(state)

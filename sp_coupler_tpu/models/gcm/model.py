@@ -123,11 +123,12 @@ class GCMCore:
             self.slg = semilag.SLGrid(self.sht, dt=cfg.dt)
             if cfg.split_phases:
                 # level-chunk the window interpolation (low-memory mode):
-                # largest divisor of nlev <= 8 — the interp body's HLO
-                # temp measured ~2.9 GB + 0.5 GB/level at TL639, so small
-                # blocks keep the split programs inside a 16 GB chip
+                # largest divisor of nlev <= 4 — the interp body's HLO
+                # temp measured ~2.9 GB + 0.5 GB/level at TL639, and the
+                # steady-state step must leave room for two distinct
+                # spectral states + the trajectory angles
                 self.slg.k_chunk = next(
-                    (kc for kc in range(min(8, cfg.nlev), 0, -1)
+                    (kc for kc in range(min(4, cfg.nlev), 0, -1)
                      if cfg.nlev % kc == 0), None)
         # warm the implicit-inverse caches (host-side numpy inversions)
         self.vc.implicit_inverse(cfg.dt / 2.0, cfg.trunc)

@@ -130,6 +130,8 @@ class TestDummyLoop:
 class TestNativeSmallLoop:
     """Small native GCM + native LES coupled loop: the real end-to-end path."""
 
+    @pytest.mark.slow   # near-duplicate of test_fused_path_active's
+    # native-native loop; that one stays fast
     def test_two_steps(self, tmp_path):
         cfg = SPConfig(gcm_type="sptpu", les_type="sptpu",
                        gcm_truncation=10, gcm_levels=8, gcm_dt=600.0,
@@ -424,6 +426,7 @@ class TestChunkedEvolve:
 
 
 class TestCrossOutput:
+    @pytest.mark.slow   # cross.nc e2e leg (heavy driver run)
     def test_fused_run_writes_cross_sections(self, tmp_path):
         """les_cross=True (NAMCROSSSECTION lcross) -> per-instance
         les-work-<col>/cross.nc via the native async writer, at the dtav
