@@ -25,18 +25,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _inject(core, s, jet_amp):
-    """+-jet_amp m/s midlatitude jets on top of the initial state."""
+def _jet_zeta(core, jet_amp):
+    """Relative vorticity of the +-jet_amp m/s midlatitude jets, host-
+    side ([L, nlat] float64 on the exact Gaussian latitudes).
+
+    The previous version synthesized the full state to grid, added the
+    jet to u and re-analyzed vort/div — a ~10-transform fused program
+    whose execution crashed the TL639 worker. The jet is zonal and
+    analytic, so only its own vorticity  zeta = -(1/(a cos)) d(u cos)/
+    dphi  needs adding to the spectral vorticity: one analyze call.
+    """
+    a = float(core.sht.radius)
+    phi = np.arcsin(np.asarray(core.sht.mu, np.float64))   # [nlat]
+    sig = np.asarray(core.vc.sf, np.float64)               # [L]
+    ujet = (jet_amp
+            * np.exp(-((np.abs(phi)[None, :] - np.radians(45.0))
+                       / np.radians(15.0)) ** 2)
+            * np.exp(-((sig[:, None] - 0.25) / 0.25) ** 2))  # [L, nlat]
+    uc = ujet * np.cos(phi)[None, :]
+    duc = np.gradient(uc, phi, axis=1)
+    return -duc / (a * np.cos(phi)[None, :])
+
+
+def _inject(core, s, zeta):
+    """Add the jet vorticity (zeta: [L, nlat, 1] broadcastable grid
+    field) to the spectral state; alias all three spectral slots."""
     import jax.numpy as jnp
-    from sp_coupler_tpu.models.gcm import dycore
-    g = dycore.to_grid(core.sht, core.vc, s.now)
-    lat = jnp.arcsin(core.sht.mu)[None, :, None]
-    jet = jet_amp * jnp.exp(-((jnp.abs(lat) - np.radians(45.0))
-                              / np.radians(15.0)) ** 2)
-    sig = core.vc.sf[:, None, None]
-    u = g.u + jet * jnp.exp(-((sig - 0.25) / 0.25) ** 2)
-    vort, div = core.sht.vort_div_from_uv(u, g.v)
-    now = s.now._replace(vort=vort, div=div)
+    zeta_g = jnp.broadcast_to(zeta, (core.cfg.nlev, core.nlat,
+                                     core.nlon))
+    vort = s.now.vort + core.sht.analyze(zeta_g).astype(s.now.vort.dtype)
+    now = s.now._replace(vort=vort * core.sht.mask[..., None])
     # alias new as well: keeping the PRE-inject spectral set alive in
     # s.new is +1.6 GB at TL639/L60 — enough to crash the first step
     return s._replace(now=now, prev=now, new=now)
@@ -71,8 +89,9 @@ def main():
     # core.apply / the internally-jitted phases thread the ~0.5 GB TL639
     # spectral tables as jit ARGUMENTS — an outer jax.jit here would
     # capture them as module constants and break the remote compile
-    state = core.apply(_inject, state, jnp.asarray(args.jet, jnp.float32),
-                       donate_first=True)
+    zeta = jnp.asarray(_jet_zeta(core, args.jet), jnp.float32)[..., None]
+    state = core.apply(_inject, state, zeta, donate_first=True)
+    np.asarray(state.now.vort[0, 0, 0, 0])   # force inject completion
 
     def strip(s):
         # Drop the previous step's grid view + surface fields before the
@@ -114,6 +133,8 @@ def main():
                     bad_at = i + 1
                     break
     except Exception as e:  # write an honest partial artifact on a crash
+        import traceback
+        traceback.print_exc()
         crash = "%s: %s" % (type(e).__name__, str(e)[:300])
         bad_at = (len(hist) * 50) or 1
         print("CRASH at ~step %d: %s" % (bad_at, crash), flush=True)

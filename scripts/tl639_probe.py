@@ -54,6 +54,8 @@ def main():
     first = True
     for i in range(args.steps):
         print("step %d:" % i, flush=True)
+        mid = timed("sl_prep_mid", core._sl_prep_mid_jit, cst, state.now,
+                    first)
         traj = timed("sl_traj", core._sl_traj_jit, cst, state.now, first)
         stack = timed("sl_dep_stack", core._sl_stack_jit, cst, state.now,
                       state.prev, first)
@@ -62,8 +64,6 @@ def main():
                                  stack["dep"], stack["pi_comb"],
                                  *traj["angd"])
         del stack, traj
-        mid = timed("sl_prep_mid", core._sl_prep_mid_jit, cst, state.now,
-                    first)
         arr = timed("sl_arrivals", core._sl_arr_jit, cst, mid["mid"],
                     mid["N_pi"], *angm, dep_vals, pi_dep, first)
         del mid, angm, dep_vals, pi_dep

@@ -310,6 +310,13 @@ class GCMCore:
             # construction) and solve (interpolation + SI) programs
             if self.slg is not None:
                 cst = self.consts()
+                # ORDER MATTERS for peak HBM: prep_mid has the largest
+                # HLO temp (8.5 GB at TL639/L60, AOT memory analysis in
+                # scripts/tl639_mem.py) and runs FIRST, while only the
+                # now/prev spectral states are live; the later programs
+                # tolerate the mid stack (1.6 GB) riding along.
+                mid = self._sl_prep_mid_jit(cst, state.now, first)
+                self._tight_sync(mid["N_pi"])
                 traj = self._sl_traj_jit(cst, state.now, first)
                 self._tight_sync(traj["angm"][0])
                 stack = self._sl_stack_jit(cst, state.now, state.prev,
@@ -320,8 +327,6 @@ class GCMCore:
                     cst, stack["dep"], stack["pi_comb"], *traj["angd"])
                 del stack, traj              # donated to the dep program
                 self._tight_sync(pi_dep)
-                mid = self._sl_prep_mid_jit(cst, state.now, first)
-                self._tight_sync(mid["N_pi"])
                 arr = self._sl_arr_jit(cst, mid["mid"], mid["N_pi"],
                                        *angm, dep_vals, pi_dep, first)
                 del mid, angm, dep_vals, pi_dep
