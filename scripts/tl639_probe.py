@@ -54,8 +54,10 @@ def main():
     first = True
     for i in range(args.steps):
         print("step %d:" % i, flush=True)
-        mid = timed("sl_prep_mid", core._sl_prep_mid_jit, cst, state.now,
-                    first)
+        mg = timed("sl_mid_grid", core._sl_mid_grid_jit, cst, state.now)
+        mid = timed("sl_mid_terms", core._sl_mid_terms_jit, cst,
+                    state.now, mg)
+        del mg
         traj = timed("sl_traj", core._sl_traj_jit, cst, state.now, first)
         stack = timed("sl_dep_stack", core._sl_stack_jit, cst, state.now,
                       state.prev, first)

@@ -168,8 +168,9 @@ class GCMCore:
                                         static_argnums=(2,))
             self._sl_stack_jit = jax.jit(self._sl_stack_cst,
                                          static_argnums=(3,))
-            self._sl_prep_mid_jit = jax.jit(self._sl_prep_mid_cst,
-                                            static_argnums=(2,))
+            self._sl_mid_grid_jit = jax.jit(self._sl_mid_grid_cst)
+            self._sl_mid_terms_jit = jax.jit(self._sl_mid_terms_cst,
+                                             donate_argnums=(2,))
             self._sl_dep_jit = jax.jit(self._sl_dep_cst,
                                        donate_argnums=(1, 2, 3, 4, 5, 6))
             self._sl_arr_jit = jax.jit(
@@ -310,12 +311,16 @@ class GCMCore:
             # construction) and solve (interpolation + SI) programs
             if self.slg is not None:
                 cst = self.consts()
-                # ORDER MATTERS for peak HBM: prep_mid has the largest
-                # HLO temp (8.5 GB at TL639/L60, AOT memory analysis in
-                # scripts/tl639_mem.py) and runs FIRST, while only the
-                # now/prev spectral states are live; the later programs
-                # tolerate the mid stack (1.6 GB) riding along.
-                mid = self._sl_prep_mid_jit(cst, state.now, first)
+                # ORDER MATTERS for peak HBM: the midpoint prep (split
+                # again into grid-view + N-term programs; fused its HLO
+                # temp is 8.5 GB at TL639/L60, scripts/tl639_mem.py)
+                # runs FIRST, while only the now/prev spectral states
+                # are live; the later programs tolerate the mid stack
+                # (1.6 GB) riding along.
+                mg = self._sl_mid_grid_jit(cst, state.now)
+                self._tight_sync(mg["sdot"])
+                mid = self._sl_mid_terms_jit(cst, state.now, mg)
+                del mg                     # donated to the terms program
                 self._tight_sync(mid["N_pi"])
                 traj = self._sl_traj_jit(cst, state.now, first)
                 self._tight_sync(traj["angm"][0])
@@ -355,12 +360,16 @@ class GCMCore:
                                         decenter=self.cfg.sl_decenter,
                                         coriolis=self.sl_cor)
 
-    def _sl_prep_mid_cst(self, cst, now, first):
+    def _sl_mid_grid_cst(self, cst, now):
         from . import semilag
         with self.bound(cst):
-            dt2 = self.cfg.dt if first else 2.0 * self.cfg.dt
-            return semilag.sl_prep_mid(self.sht, self.vc, self.slg, now,
-                                       dt2, coriolis=self.sl_cor)
+            return semilag.sl_mid_grid(self.sht, self.vc, self.slg, now)
+
+    def _sl_mid_terms_cst(self, cst, now, mg):
+        from . import semilag
+        with self.bound(cst):
+            return semilag.sl_mid_terms(self.sht, self.vc, self.slg, now,
+                                        mg, coriolis=self.sl_cor)
 
     def _sl_dep_cst(self, cst, dep, pi_comb, lam_d, phi_d, lam_d2, phi_d2):
         from . import semilag

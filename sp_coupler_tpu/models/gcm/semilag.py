@@ -683,15 +683,14 @@ def sl_prep_dep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
     return out
 
 
-def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):
-    """Midpoint side of the SL step: the explicit nonlinear terms N(t)
-    on the grid (NO interpolation). Own device program in split mode."""
-    L = vc.nlev
+def sl_mid_grid(sht, vc, slg: SLGrid, now):
+    """Grid-view half of the midpoint prep: arrival-time grid fields,
+    surface-pressure gradients, vertical velocity, and the geopotential
+    spectrum. Own device program in split mode — fused, sl_prep_mid's
+    HLO temp is 8.5 GB at TL639/L60 (scripts/tl639_mem.py), which on top
+    of the steady-state now+prev spectral pair exceeds a 16 GB chip."""
     _P = jax.lax.Precision.HIGHEST
     dtype = now.T.dtype
-    e3, n3 = slg.e[:, None], slg.n[:, None]
-    r3 = slg.r[:, None]
-    fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
 
     g = dycore.to_grid(sht, vc, now)          # arrival-time fields
     dpx, dpy = sht.grad(now.lnps)
@@ -718,9 +717,6 @@ def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):
     zero = jnp.zeros_like(sdot_int[:1])
     sdot = jnp.concatenate([zero, sdot_int, zero], axis=0)
 
-    # ---- midpoint nonlinear terms N(t) -----------------------------------
-    # momentum: N_V = -vertadv(V) - Rd T wp grad(pi) - grad(Phi)
-    #                 + grad(gamma)   (Coriolis is in the trapezoid)
     if hc is None:
         phi_spec = jnp.einsum("kj,j...->k...", vc.G.astype(dtype),
                               now.T, precision=_P)
@@ -731,17 +727,38 @@ def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):
             alpha=jnp.moveaxis(hc["alpha"], 0, -1))
         phi_spec = sht.analyze(jnp.moveaxis(phi_grid, -1, 0)).astype(
             dtype)
-    dphx, dphy = sht.grad(phi_spec)
+    return {"u": g.u, "v": g.v, "T": g.T, "q": g.q, "ql": g.ql,
+            "qi": g.qi, "a": g.a, "div": g.div, "omega_p": g.omega_p,
+            "sdot": sdot, "dpt": dpt, "dpt_full": dpt_full, "wp": wp,
+            "dpx": dpx, "dpy": dpy, "phi_spec": phi_spec}
+
+
+def sl_mid_terms(sht, vc, slg: SLGrid, now, m, coriolis="midpoint"):
+    """N-term half of the midpoint prep: assemble the explicit nonlinear
+    terms N(t) from the grid-view bundle ``m`` (sl_mid_grid)."""
+    L = vc.nlev
+    _P = jax.lax.Precision.HIGHEST
+    dtype = now.T.dtype
+    e3, n3 = slg.e[:, None], slg.n[:, None]
+    r3 = slg.r[:, None]
+    fcor = 2.0 * c.omega * slg.r[2][None]                # [1, nlat, nlon]
+    sdot, dpt, dpt_full, wp = m["sdot"], m["dpt"], m["dpt_full"], m["wp"]
+    dpx, dpy = m["dpx"], m["dpy"]
+
+    # ---- midpoint nonlinear terms N(t) -----------------------------------
+    # momentum: N_V = -vertadv(V) - Rd T wp grad(pi) - grad(Phi)
+    #                 + grad(gamma)   (Coriolis is in the trapezoid)
+    dphx, dphy = sht.grad(m["phi_spec"])
     gamma_n = (jnp.einsum("kj,j...->k...", vc.G.astype(dtype), now.T,
                           precision=_P)
                + c.rd * vc.tref * now.lnps[None])
     dgx_n, dgy_n = sht.grad(gamma_n)
     # full PGF = -Rd T wp grad(pi) - grad(Phi); adding grad(gamma) leaves
     # the explicit residual (the Tref parts cancel exactly on sigma)
-    Fx = -c.rd * g.T * wp * dpx[None] - dphx + dgx_n
-    Fy = -c.rd * g.T * wp * dpy[None] - dphy + dgy_n
-    adv_u = dycore._vert_advect(vc, sdot, g.u, dpt)
-    adv_v = dycore._vert_advect(vc, sdot, g.v, dpt)
+    Fx = -c.rd * m["T"] * wp * dpx[None] - dphx + dgx_n
+    Fy = -c.rd * m["T"] * wp * dpy[None] - dphy + dgy_n
+    adv_u = dycore._vert_advect(vc, sdot, m["u"], dpt)
+    adv_v = dycore._vert_advect(vc, sdot, m["v"], dpt)
     N_V3 = (-(adv_u[None] * e3 + adv_v[None] * n3)
             + Fx[None] * e3 + Fy[None] * n3)
     if coriolis != "trapezoid":
@@ -753,29 +770,29 @@ def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):
         # gravity waves each step (rot-wave test: trapezoid damps an
         # m=8 wave at 0.5%/step; midpoint at the pure-interpolation
         # 0.04%/step).
-        V3_n = g.u[None] * e3 + g.v[None] * n3
+        V3_n = m["u"][None] * e3 + m["v"][None] * n3
         N_V3 = N_V3 - fcor[None] * jnp.cross(r3, V3_n, axis=0)
 
     # T: N_T = kappa T omega/p - vertadv(T) - W D
     WD_n = sht.synthesize(jnp.einsum("kj,j...->k...",
                                      vc.W.astype(dtype), now.div,
                                      precision=_P))
-    N_T = (c.kappa * g.T * g.omega_p
-           - dycore._vert_advect(vc, sdot, g.T, dpt) - WD_n)
+    N_T = (c.kappa * m["T"] * m["omega_p"]
+           - dycore._vert_advect(vc, sdot, m["T"], dpt) - WD_n)
 
     # lnps: N_pi = -sum_k dpt_k D_k + b.D  (zero on pure sigma at the
     # reference state; nonzero through the actual hybrid thicknesses)
     bD_n = sht.synthesize(jnp.einsum("j,j...->...",
                                      vc.b.astype(dtype), now.div,
                                      precision=_P))
-    N_pi = (-jnp.sum(dpt_full * g.div, axis=0) + bD_n)[None]
+    N_pi = (-jnp.sum(dpt_full * m["div"], axis=0) + bD_n)[None]
 
     # tracers: only vertical advection is explicit (horizontal transport
     # IS the trajectory)
-    N_q = -dycore._vert_advect(vc, sdot, g.q, dpt)
-    N_ql = -dycore._vert_advect(vc, sdot, g.ql, dpt)
-    N_qi = -dycore._vert_advect(vc, sdot, g.qi, dpt)
-    N_a = -dycore._vert_advect(vc, sdot, g.a, dpt)
+    N_q = -dycore._vert_advect(vc, sdot, m["q"], dpt)
+    N_ql = -dycore._vert_advect(vc, sdot, m["ql"], dpt)
+    N_qi = -dycore._vert_advect(vc, sdot, m["qi"], dpt)
+    N_a = -dycore._vert_advect(vc, sdot, m["a"], dpt)
 
     # ---- midpoint field stack --------------------------------------------
     mid_fields = jnp.concatenate([
@@ -784,6 +801,16 @@ def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):
     ], axis=0)
 
     return {"mid": mid_fields, "N_pi": N_pi}
+
+
+def sl_prep_mid(sht, vc, slg: SLGrid, now, tau, coriolis="midpoint"):
+    """Midpoint side of the SL step: the explicit nonlinear terms N(t)
+    on the grid (the fused composition of sl_mid_grid + sl_mid_terms;
+    split mode runs them as separate device programs). ``tau`` is
+    accepted for signature stability (N(t) does not depend on it)."""
+    del tau
+    m = sl_mid_grid(sht, vc, slg, now)
+    return sl_mid_terms(sht, vc, slg, now, m, coriolis)
 
 
 def sl_prep(sht, vc, slg: SLGrid, now, prev, tau, decenter=0.1,
