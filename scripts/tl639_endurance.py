@@ -109,6 +109,7 @@ def main():
     t0 = time.time()
     bad_at = None
     crash = None
+    cad = min(50, max(args.steps // 5, 1))
     try:
         state = core.step(state, first=True)
         for i in range(args.steps):
@@ -118,7 +119,7 @@ def main():
                 # tiny fetch: bounds the async dispatch queue (the
                 # tunneled runtime wedges under deep unsynced queues)
                 np.asarray(state.now.vort[0, 0, 0, 0])
-            if (i + 1) % 50 == 0 or i + 1 == args.steps:
+            if (i + 1) % cad == 0 or i + 1 == args.steps:
                 u = np.asarray(state.grid.u)
                 T = np.asarray(state.grid.T)
                 finite = bool(np.all(np.isfinite(u))
@@ -136,7 +137,7 @@ def main():
         import traceback
         traceback.print_exc()
         crash = "%s: %s" % (type(e).__name__, str(e)[:300])
-        bad_at = (len(hist) * 50) or 1
+        bad_at = (len(hist) * cad) or 1
         print("CRASH at ~step %d: %s" % (bad_at, crash), flush=True)
         if not hist:
             hist = [{"step": 0, "umax": float("nan"),

@@ -544,7 +544,13 @@ class GCMCore:
             self._tight_sync(state.grid.u)
             state = self.phase_cloud(state)
             self._tight_sync(state.grid.T)
-            return self.phase_b(state, first)
+            state = self.phase_b(state, first)
+            # sync the step TAIL too: without it the next step's phase-A
+            # programs dispatch while this phase_b still executes, and
+            # the two steps' working sets are co-resident — enough to
+            # hard-crash the worker at TL639/L60
+            self._tight_sync(state.now.vort)
+            return state
         return self.phase_b(self.phase_cloud(self.phase_a(state, first)),
                             first)
 
