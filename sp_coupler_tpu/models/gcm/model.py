@@ -176,9 +176,12 @@ class GCMCore:
             self._sl_arr_jit = jax.jit(
                 self._sl_arr_cst, static_argnums=(9,),
                 donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+            # NO donation on the solve program: its working set is the
+            # smallest of the pipeline (6.9 GB total at TL639/L60), and
+            # the donated-input lowering of the first=False variant
+            # reproducibly failed with an internal TPU error
             self._sl_solve_jit = jax.jit(
-                self._sl_solve_cst, static_argnums=(9,),
-                donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+                self._sl_solve_cst, static_argnums=(9,))
 
     # ---- constant threading -------------------------------------------
     # The spectral tables are threaded through every jitted phase as
