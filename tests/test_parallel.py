@@ -162,7 +162,7 @@ class TestScalingEfficiency:
         VERDICT r3 next-round #3)."""
         from sp_coupler_tpu.runtime import scalebench
         r = scalebench.measure(sizes=[1, 4], per_dev=1, nx=16, ny=16,
-                               nz=16, substeps=3, reps=2, verbose=False,
+                               nz=16, substeps=3, reps=4, verbose=False,
                                mode="fixed")
         eff = r["efficiency"]
         # raw (unclamped) ratios; on the CPU test mesh the independent
