@@ -512,8 +512,14 @@ def _kernel(up_hbm, vp_hbm, wp_hbm, sp_hbm, prof_hbm,
     rf_u = prof(P_RHOF, 0, 1)               # rhobf[g] .. rhobf[g+bz]
     fi_u = jnp.clip((c.tmelt - T_u) / (c.tmelt - 250.0), 0.0, 1.0)
     rq_u = jnp.maximum(rf_u * qr_u, 0.0)
-    vt_u = ((1.0 - fi_u) * sed_a * rq_u ** sed_b
-            + fi_u * sed_ai * rq_u ** sed_bi)
+    # the two phase fall-speed power laws share the base rq_u: evaluate
+    # log(rq) once and reuse it in both exp's (pow lowers to exp(b*log x)
+    # on the VPU, so this saves one full [bz+1, P] transcendental);
+    # rq == 0 gives exp(b * -inf) == 0, the same value the pow form has
+    # (sed_b, sed_bi > 0)
+    lrq_u = jnp.log(rq_u)
+    vt_u = ((1.0 - fi_u) * sed_a * jnp.exp(sed_b * lrq_u)
+            + fi_u * sed_ai * jnp.exp(sed_bi * lrq_u))
     flux_u = rf_u * vt_u * jnp.maximum(qr_u, 0.0)
     flux_0 = flux_u[:bz]
     flux_p1 = flux_u[1:]
